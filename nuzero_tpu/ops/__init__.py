@@ -1,0 +1,3 @@
+from nuzero_tpu.ops.hexconv import hex_conv, hex_neighbor_offsets
+
+__all__ = ["hex_conv", "hex_neighbor_offsets"]

@@ -1,0 +1,132 @@
+"""Hexagonal convolution on offset-coordinate hex grids (HexagDLy semantics).
+
+The reference stores hex boards as rectangular tensors in *offset
+coordinates*: columns are vertical, and the vertical placement of a column's
+neighbors depends on the column's parity (ref ``Games/SCS/SCS_Game.py:26-65``,
+neighbor rules at ``SCS_Game.py:1199-1243``):
+
+    n  = (r-1, c)            s  = (r+1, c)
+    even column c:  ne=(r-1,c+1)  se=(r,c+1)   sw=(r,c-1)   nw=(r-1,c-1)
+    odd  column c:  ne=(r,c+1)    se=(r+1,c+1) sw=(r+1,c-1) nw=(r,c-1)
+
+A size-1 hexagonal kernel covers the center + its 6 hex neighbors, with one
+independent weight per hex direction (shared across column parities), zero
+padding at the board edge — the behavior of ``hexagdly.Conv2d(kernel_size=1)``
+used throughout the reference's model zoo (ref
+``Neural_Networks/Architectures/blocks.py:20``).
+
+TPU-native design: instead of gather-based neighbor indexing (VPU-bound), we
+embed the 7 direction weights into two dense 3x3 kernels — one laid out for
+even output columns, one for odd — run both as ordinary XLA convolutions
+(which tile onto the MXU), and select per output column parity.  The two
+convolutions share 3 of 7 taps (n, s, center); XLA fuses the select into the
+conv epilogue.  This keeps all FLOPs on the systolic array and needs no
+custom scatter/gather.  A fused single-pass Pallas kernel lives in
+``nuzero_tpu/ops/pallas/hexconv_kernel.py`` for the hot path.
+
+Direction order everywhere: [center, n, ne, se, s, sw, nw] (the reference's
+clockwise order ``SCS_Game.py:1245-1247`` with center prepended).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: tap -> (row_offset, col_offset) per column parity
+HEX_DIRECTIONS = ("c", "n", "ne", "se", "s", "sw", "nw")
+
+_OFFSETS_EVEN = {
+    "c": (0, 0),
+    "n": (-1, 0),
+    "ne": (-1, 1),
+    "se": (0, 1),
+    "s": (1, 0),
+    "sw": (0, -1),
+    "nw": (-1, -1),
+}
+_OFFSETS_ODD = {
+    "c": (0, 0),
+    "n": (-1, 0),
+    "ne": (0, 1),
+    "se": (1, 1),
+    "s": (1, 0),
+    "sw": (1, -1),
+    "nw": (0, -1),
+}
+
+
+def hex_neighbor_offsets(parity: int):
+    """(7, 2) int array of (dr, dc) offsets for a column of given parity."""
+    table = _OFFSETS_ODD if parity % 2 else _OFFSETS_EVEN
+    return np.array([table[d] for d in HEX_DIRECTIONS], dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _placement(parity: int):
+    """Indices placing the 7 taps into a 3x3 window for this parity."""
+    offs = hex_neighbor_offsets(parity)
+    rows = offs[:, 0] + 1
+    cols = offs[:, 1] + 1
+    return rows, cols
+
+
+def _dense_kernels(weights: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """weights f32[7, in, out] -> two OIHW kernels f32[out, in, 3, 3]."""
+    kernels = []
+    for parity in (0, 1):
+        rows, cols = _placement(parity)
+        k = jnp.zeros((3, 3) + weights.shape[1:], weights.dtype)
+        k = k.at[rows, cols].set(weights)  # [3, 3, in, out]
+        kernels.append(jnp.transpose(k, (3, 2, 0, 1)))  # OIHW
+    return kernels[0], kernels[1]
+
+
+def hex_conv(
+    x: jax.Array, weights: jax.Array, *, precision=jax.lax.Precision.HIGHEST
+) -> jax.Array:
+    """Hexagonal convolution.
+
+    Args:
+      x: f32[batch, in_channels, rows, cols] (NCHW, matching the framework's
+        (C, H, W) observation convention).
+      weights: f32[7, in_channels, out_channels], tap order
+        [c, n, ne, se, s, sw, nw].
+
+    Returns:
+      f32[batch, out_channels, rows, cols]; zero padding at the edges.
+    """
+    k_even, k_odd = _dense_kernels(weights)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k_even.shape, ("NCHW", "OIHW", "NCHW"))
+    conv = functools.partial(
+        jax.lax.conv_general_dilated,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=dn,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    y_even = conv(x, k_even)
+    y_odd = conv(x, k_odd)
+    col_is_odd = (jnp.arange(x.shape[-1]) % 2).astype(bool)
+    return jnp.where(col_is_odd[None, None, None, :], y_odd, y_even).astype(x.dtype)
+
+
+def hex_conv_reference(x: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Pure-NumPy oracle: explicit neighbor gathering.  Test-only."""
+    batch, cin, rows, cols = x.shape
+    _, _, cout = weights.shape
+    out = np.zeros((batch, cout, rows, cols), dtype=np.float32)
+    for c in range(cols):
+        offs = hex_neighbor_offsets(c % 2)
+        for r in range(rows):
+            acc = np.zeros((batch, cout), dtype=np.float32)
+            for t, (dr, dc) in enumerate(offs):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < rows and 0 <= cc < cols:
+                    acc += x[:, :, rr, cc] @ weights[t]
+            out[:, :, r, c] = acc
+    return out
