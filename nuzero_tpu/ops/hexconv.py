@@ -74,33 +74,49 @@ def _placement(parity: int):
     return rows, cols
 
 
-def _dense_kernels(weights: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """weights f32[7, in, out] -> two OIHW kernels f32[out, in, 3, 3]."""
-    kernels = []
-    for parity in (0, 1):
-        rows, cols = _placement(parity)
-        k = jnp.zeros((3, 3) + weights.shape[1:], weights.dtype)
-        k = k.at[rows, cols].set(weights)  # [3, 3, in, out]
-        kernels.append(jnp.transpose(k, (3, 2, 0, 1)))  # OIHW
-    return kernels[0], kernels[1]
-
-
 def hex_conv(
-    x: jax.Array, weights: jax.Array, *, precision=jax.lax.Precision.HIGHEST
+    x: jax.Array,
+    weights: jax.Array,
+    *,
+    data_format: str = "NCHW",
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Hexagonal convolution.
 
     Args:
-      x: f32[batch, in_channels, rows, cols] (NCHW, matching the framework's
-        (C, H, W) observation convention).
+      x: f32[batch, in_channels, rows, cols] when ``data_format == "NCHW"``
+        (the framework's (C, H, W) observation convention) or
+        f32[batch, rows, cols, in_channels] when ``"NHWC"`` (the layout the
+        network stacks use internally — channel-minor is what the TPU
+        vector units and MXU want).
       weights: f32[7, in_channels, out_channels], tap order
         [c, n, ne, se, s, sw, nw].
 
     Returns:
-      f32[batch, out_channels, rows, cols]; zero padding at the edges.
+      Output with the same layout as ``x``; zero padding at the edges.
     """
-    k_even, k_odd = _dense_kernels(weights)
-    dn = jax.lax.conv_dimension_numbers(x.shape, k_even.shape, ("NCHW", "OIHW", "NCHW"))
+    if data_format == "NCHW":
+        dense_layout = "OIHW"
+        col_axis = 3
+    elif data_format == "NHWC":
+        dense_layout = "HWIO"
+        col_axis = 2
+    else:
+        raise ValueError(f"bad data_format {data_format!r}")
+
+    kernels = []
+    for parity in (0, 1):
+        rows, cols = _placement(parity)
+        k = jnp.zeros((3, 3) + weights.shape[1:], weights.dtype)
+        k = k.at[rows, cols].set(weights)  # [3, 3, in, out] == HWIO
+        if dense_layout == "OIHW":
+            k = jnp.transpose(k, (3, 2, 0, 1))
+        kernels.append(k)
+    k_even, k_odd = kernels
+
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, k_even.shape, (data_format, dense_layout, data_format)
+    )
     conv = functools.partial(
         jax.lax.conv_general_dilated,
         window_strides=(1, 1),
@@ -111,8 +127,10 @@ def hex_conv(
     )
     y_even = conv(x, k_even)
     y_odd = conv(x, k_odd)
-    col_is_odd = (jnp.arange(x.shape[-1]) % 2).astype(bool)
-    return jnp.where(col_is_odd[None, None, None, :], y_odd, y_even).astype(x.dtype)
+    col_is_odd = (jnp.arange(x.shape[col_axis]) % 2).astype(bool)
+    shape = [1, 1, 1, 1]
+    shape[col_axis] = -1
+    return jnp.where(col_is_odd.reshape(shape), y_odd, y_even).astype(x.dtype)
 
 
 def hex_conv_reference(x: np.ndarray, weights: np.ndarray) -> np.ndarray:
