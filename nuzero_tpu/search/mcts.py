@@ -1,0 +1,365 @@
+"""Fully-batched MCTS (PUCT) over array trees.
+
+Behavioral target: ``Search/Explorer.py`` — same UCT formula, root noise,
+and action-selection rules — redesigned for TPU:
+
+- B games search simultaneously; each simulation's leaf states across the
+  batch are evaluated in ONE batched network call (the reference runs
+  batch-1 inference per leaf per game — ``Explorer.py:151`` — the single
+  biggest throughput loss its design imposes).
+- Descent/backprop are ``lax.while_loop``s vmapped over games; the tree is
+  pure data (see ``tree.py``), simulations are a ``lax.fori_loop``.
+
+Faithfulness notes (deliberate deviations documented):
+
+- PUCT score (ref ``Explorer.py:114-130``):
+  ``prior * sqrt(N_parent)/(1+N_child) * c + value_factor * q`` with
+  ``c = log((N_parent + pb_c_base + 1)/pb_c_base) + pb_c_init``.
+  The value term is negated for player 1's decisions.  The reference's
+  negation keys on ``to_play == 2`` which matched Tic-Tac-Toe's {1,2}
+  labels but never fired for SCS's {0,1} (``Explorer.py:124``); with the
+  framework-wide {0,1} convention the flip is always correct.  This
+  *changes SCS search behavior* vs the reference, intentionally (SURVEY §2.3
+  hazard note).
+- Backpropagation adds the absolute (player-0 perspective) value along the
+  whole path with no sign alternation (ref ``Explorer.py:132-135``).
+- Root exploration noise is multiplicative-mix gamma noise on the priors —
+  NOT normalized Dirichlet (ref ``Explorer.py:201-210``).
+- The root is evaluated/expanded as the search's first simulation and
+  backed up once, exactly what the reference's first simulation does to a
+  fresh root (``Explorer.py:49-61``); noise is applied after root expansion
+  (the reference applies it before the loop, which is a no-op for fresh
+  roots and only bites with subtree reuse).
+- Terminal leaves re-contribute their terminal value on every visit
+  (ref ``Explorer.py:140-142``).
+- If the network puts zero mass on all legal moves, priors fall back to
+  uniform-over-legal (ref ``Explorer.py:171-174``).
+- Argmax tie-breaking: the reference's ``max()`` over (score, action,
+  child) tuples breaks score ties toward the *largest* action index;
+  ``jnp.argmax`` breaks toward the smallest.  Ties are measure-zero with
+  float scores; not reproduced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from nuzero_tpu.search.tree import Tree, init_tree, write_state
+
+NEG_INF = jnp.float32(-1e9)
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchParams:
+    """Static search configuration (ref search-config YAML schema,
+    ``Configs/Search/Examples/documentation_search_config.yaml``)."""
+
+    num_simulations: int = 100
+    keep_subtree: bool = True
+    pb_c_base: float = 10000.0
+    pb_c_init: float = 1.15
+    number_of_softmax_moves: int = 0
+    epsilon_softmax_exploration: float = 0.04
+    epsilon_random_exploration: float = 0.001
+    value_factor: float = 1.0
+    root_exploration_fraction: float = 0.2
+    root_dist_alpha: float = 0.15
+    root_dist_beta: float = 1.0
+
+
+@struct.dataclass
+class SearchResults:
+    action: jax.Array  # i32[B] chosen action
+    policy_target: jax.Array  # f32[B, A] root child visits, normalized
+    root_value: jax.Array  # f32[B] root mean value (static convention)
+    root_visits: jax.Array  # i32[B]
+    tree_nodes: jax.Array  # i32[B] allocated node count (stats parity:
+    # ref Gamer.py:42-92 per-game tree-size stats)
+    exploration_bias: jax.Array  # f32[B] final root bias (ref Explorer.py:63)
+
+
+def _masked_priors(logits: jax.Array, legal: jax.Array) -> jax.Array:
+    """softmax over ALL logits, mask, renormalize; uniform-over-legal
+    fallback (ref ``Explorer.py:159-174``)."""
+    p = jax.nn.softmax(logits, axis=-1) * legal
+    total = p.sum(axis=-1, keepdims=True)
+    n_legal = legal.sum(axis=-1, keepdims=True)
+    uniform = legal / jnp.maximum(n_legal, 1)
+    return jnp.where(total > 0, p / jnp.where(total > 0, total, 1.0), uniform)
+
+
+def _exploration_bias(parent_visit, params: SearchParams):
+    return (
+        jnp.log((parent_visit + params.pb_c_base + 1.0) / params.pb_c_base)
+        + params.pb_c_init
+    )
+
+
+def _puct_scores(tree: Tree, node: jax.Array, params: SearchParams):
+    """f32[A] selection scores at ``node`` for a single-game tree."""
+    parent_visit = tree.visit[node].astype(jnp.float32)
+    c = _exploration_bias(parent_visit, params)
+    child_idx = tree.child[node]  # i32[A]
+    has_child = child_idx != -1
+    safe = jnp.where(has_child, child_idx, 0)
+    child_visit = jnp.where(has_child, tree.visit[safe], 0).astype(jnp.float32)
+    child_vsum = jnp.where(has_child, tree.value_sum[safe], 0.0)
+    q = jnp.where(child_visit > 0, child_vsum / jnp.maximum(child_visit, 1.0), 0.0)
+    # Static values: +1 good for player 0.  Negate for player 1's choice.
+    sign = jnp.where(tree.to_play[node] == 1, -1.0, 1.0)
+    u = tree.prior[node] * jnp.sqrt(parent_visit) / (1.0 + child_visit) * c
+    score = u + params.value_factor * sign * q
+    return jnp.where(tree.legal[node], score, NEG_INF)
+
+
+def _descend(tree: Tree, params: SearchParams):
+    """Walk from the root to a frontier; single-game.  Returns
+    (stop_node, sel_action, needs_alloc)."""
+
+    def cond(carry):
+        node, _, stop = carry
+        return ~stop
+
+    def body(carry):
+        node, _, _ = carry
+        can_continue = tree.expanded[node] & ~tree.is_terminal[node]
+        scores = _puct_scores(tree, node, params)
+        action = jnp.argmax(scores).astype(jnp.int32)
+        child = tree.child[node, action]
+        # Cases: (a) node unexpanded/terminal -> stop here, no alloc;
+        #        (b) chosen child missing -> stop, alloc;
+        #        (c) chosen child exists -> continue from child.
+        stop = ~can_continue | (child == -1)
+        nxt = jnp.where(can_continue & (child != -1), child, node)
+        return nxt, jnp.where(can_continue, action, 0), stop
+
+    node, action, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    )
+    needs_alloc = (
+        tree.expanded[node]
+        & ~tree.is_terminal[node]
+        & (tree.child[node, action] == -1)
+    )
+    return node, action, needs_alloc
+
+
+def _backprop(tree: Tree, leaf: jax.Array, value: jax.Array) -> Tree:
+    """Add ``value`` and a visit along leaf->root (ref Explorer.py:132-135).
+    Single-game."""
+
+    def cond(carry):
+        node, _, _ = carry
+        return node != -1
+
+    def body(carry):
+        node, visit, vsum = carry
+        visit = visit.at[node].add(1)
+        vsum = vsum.at[node].add(value)
+        return tree.parent[node], visit, vsum
+
+    _, visit, vsum = jax.lax.while_loop(
+        cond, body, (leaf, tree.visit, tree.value_sum)
+    )
+    return tree.replace(visit=visit, value_sum=vsum)
+
+
+def make_search_fn(
+    env,
+    apply_fn: Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]],
+    params: SearchParams,
+    training: bool,
+):
+    """Build ``search(variables, states, game_lengths, rng) -> SearchResults``.
+
+    ``apply_fn(variables, obs[B,C,H,W]) -> (logits[B,A], value[B])`` is the
+    batched network (recurrent iteration count already bound).
+    ``states`` is a batch-B env-state pytree for the games' current
+    positions.  One fresh tree per move; subtree reuse across moves is a
+    planned optimization (re-rooting with index compaction).
+    """
+    A = env.num_actions
+    num_nodes = params.num_simulations + 1
+
+    def evaluate_batch(variables, states_b):
+        obs = jax.vmap(env.observe)(states_b)
+        logits, value = apply_fn(variables, obs)
+        legal = jax.vmap(env.legal_mask)(states_b)
+        priors = _masked_priors(logits, legal)
+        is_term = jax.vmap(env.terminal)(states_b)
+        term_val = jax.vmap(env.terminal_value)(states_b)
+        value = jnp.where(is_term, term_val, value)
+        return priors, legal, value, is_term, term_val
+
+    def search(variables, states, game_lengths, rng):
+        B = jax.tree.leaves(states)[0].shape[0]
+        tree = jax.vmap(lambda s: init_tree(env, num_nodes, s))(states)
+
+        # --- Root evaluation == the reference's first simulation on a
+        # fresh root (expand + one backup), batched across games.
+        priors0, legal0, value0, term0, tval0 = evaluate_batch(variables, states)
+        if training:
+            rng, sub = jax.random.split(rng)
+            noise = (
+                jax.random.gamma(sub, params.root_dist_alpha, (B, A))
+                * params.root_dist_beta
+            )
+            frac = params.root_exploration_fraction
+            noisy = priors0 * (1.0 - frac) + noise * frac
+            # Only legal actions have children in the reference
+            # (Explorer.py:207-210 iterates node.children).
+            priors0 = jnp.where(legal0, noisy, 0.0)
+        to_play0 = jax.vmap(env.current_player)(states)
+        tree = tree.replace(
+            prior=tree.prior.at[:, 0].set(priors0),
+            legal=tree.legal.at[:, 0].set(legal0),
+            expanded=tree.expanded.at[:, 0].set(~term0),
+            to_play=tree.to_play.at[:, 0].set(to_play0),
+            is_terminal=tree.is_terminal.at[:, 0].set(term0),
+            terminal_value=tree.terminal_value.at[:, 0].set(tval0),
+            visit=tree.visit.at[:, 0].set(1),
+            value_sum=tree.value_sum.at[:, 0].set(value0),
+        )
+
+        # --- Remaining num_simulations - 1 descents.
+        def sim_body(_, tree):
+            stop_node, action, needs_alloc = jax.vmap(
+                lambda t: _descend(t, params)
+            )(tree)
+
+            # Allocate (masked): step the parent's stored state.
+            parent_state = jax.vmap(
+                lambda t, i: jax.tree.map(lambda x: x[i], t.states)
+            )(tree, stop_node)
+            new_state = jax.vmap(env.step)(parent_state, action)
+            new_idx = jnp.where(needs_alloc, tree.next_free, jnp.int32(0))
+
+            def write_alloc(t, idx, pnode, act, st, do):
+                states = write_state(t.states, jnp.where(do, idx, t.next_free), st)
+                # (writing to next_free when masked keeps slot 0 intact;
+                #  next_free only advances when do=True so the garbage slot
+                #  gets overwritten by the next real allocation)
+                child = t.child.at[pnode, act].set(
+                    jnp.where(do, idx, t.child[pnode, act])
+                )
+                parent = t.parent.at[idx].set(jnp.where(do, pnode, t.parent[idx]))
+                return t.replace(
+                    states=states,
+                    child=child,
+                    parent=parent,
+                    next_free=t.next_free + do.astype(jnp.int32),
+                )
+
+            tree = jax.vmap(write_alloc)(
+                tree, new_idx, stop_node, action, new_state, needs_alloc
+            )
+            leaf = jnp.where(needs_alloc, new_idx, stop_node)
+
+            # Evaluate all leaves in ONE batched network call.
+            leaf_state = jax.vmap(
+                lambda t, i: jax.tree.map(lambda x: x[i], t.states)
+            )(tree, leaf)
+            priors, legal, value, is_term, tval = evaluate_batch(
+                variables, leaf_state
+            )
+            to_play = jax.vmap(env.current_player)(leaf_state)
+
+            def write_eval(t, i, pr, lg, tp, te, tv, fresh):
+                # Freshly-allocated leaves get their metadata + expansion;
+                # revisited terminal leaves just contribute value again.
+                wr = fresh
+                return t.replace(
+                    prior=t.prior.at[i].set(jnp.where(wr, pr, t.prior[i])),
+                    legal=t.legal.at[i].set(jnp.where(wr, lg, t.legal[i])),
+                    expanded=t.expanded.at[i].set(
+                        jnp.where(wr, ~te, t.expanded[i])
+                    ),
+                    to_play=t.to_play.at[i].set(jnp.where(wr, tp, t.to_play[i])),
+                    is_terminal=t.is_terminal.at[i].set(
+                        jnp.where(wr, te, t.is_terminal[i])
+                    ),
+                    terminal_value=t.terminal_value.at[i].set(
+                        jnp.where(wr, tv, t.terminal_value[i])
+                    ),
+                )
+
+            tree = jax.vmap(write_eval)(
+                tree, leaf, priors, legal, to_play, is_term, tval, needs_alloc
+            )
+            # Revisited terminal leaves: value must be their terminal value.
+            value = jnp.where(
+                jax.vmap(lambda t, i: t.is_terminal[i])(tree, leaf),
+                jax.vmap(lambda t, i: t.terminal_value[i])(tree, leaf),
+                value,
+            )
+            tree = jax.vmap(_backprop)(tree, leaf, value)
+            return tree
+
+        tree = jax.lax.fori_loop(0, params.num_simulations - 1, sim_body, tree)
+
+        # --- Policy target: normalized root-child visit counts
+        # (ref tic_tac_toe.py:177-182 store_search_statistics).
+        child_idx = tree.child[:, 0, :]  # i32[B, A]
+        has_child = child_idx != -1
+        safe = jnp.where(has_child, child_idx, 0)
+        child_visits = jnp.where(
+            has_child,
+            jnp.take_along_axis(tree.visit, safe, axis=1),
+            0,
+        ).astype(jnp.float32)
+        visit_sum = child_visits.sum(axis=-1, keepdims=True)
+        policy_target = child_visits / jnp.maximum(visit_sum, 1.0)
+
+        # --- Action selection (ref Explorer.py:70-97).
+        rng, k_soft, k_eps, k_rand, k_pick = jax.random.split(rng, 5)
+        legal_root = tree.legal[:, 0, :]
+        if training:
+            soft_logits = jnp.where(legal_root, child_visits, NEG_INF)
+            softmax_pick = jax.random.categorical(k_soft, soft_logits, axis=-1)
+            rand_logits = jnp.where(legal_root, 0.0, NEG_INF)
+            random_pick = jax.random.categorical(k_rand, rand_logits, axis=-1)
+            argmax_pick = jnp.argmax(
+                jnp.where(legal_root, child_visits, -1.0), axis=-1
+            )
+            eps = jax.random.uniform(k_eps, (B, 2))
+            action = jnp.where(
+                eps[:, 0] < params.epsilon_softmax_exploration,
+                softmax_pick,
+                jnp.where(
+                    eps[:, 1] < params.epsilon_random_exploration,
+                    random_pick,
+                    argmax_pick,
+                ),
+            )
+            action = jnp.where(
+                game_lengths < params.number_of_softmax_moves,
+                softmax_pick,
+                action,
+            )
+        else:
+            action = jnp.argmax(
+                jnp.where(legal_root, child_visits, -1.0), axis=-1
+            )
+        action = action.astype(jnp.int32)
+
+        root_visits = tree.visit[:, 0]
+        root_value = tree.value_sum[:, 0] / jnp.maximum(
+            root_visits.astype(jnp.float32), 1.0
+        )
+        return SearchResults(
+            action=action,
+            policy_target=policy_target,
+            root_value=root_value,
+            root_visits=root_visits,
+            tree_nodes=tree.next_free,
+            exploration_bias=_exploration_bias(
+                root_visits.astype(jnp.float32), params
+            ),
+        )
+
+    return search
