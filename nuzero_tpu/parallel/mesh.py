@@ -1,0 +1,98 @@
+"""Device mesh + sharded actor-learner superstep.
+
+The reference's parallelism is process-level: Ray Gamer actors spread over
+nodes, a single-process learner, and pickled-weight shipping through the
+object store (SURVEY §2.8).  The TPU-native layout is single-program
+multi-device:
+
+- one ``Mesh`` with a ``dp`` axis over all chips;
+- the self-play game batch and the replay buffer's game axis are sharded
+  over ``dp`` (each chip owns its shard of games — the moral equivalent of
+  ``SPREAD`` Ray actors, but in one XLA program);
+- network parameters and optimizer state are replicated; the gradient
+  all-reduce that data-parallel training needs is inserted by XLA from the
+  sharding annotations (rides ICI on real slices);
+- weights never leave device: the reference's ``RemoteStorage`` network
+  shipping (``AlphaZero.py:291-294``) has no equivalent because actors and
+  learner literally share the arrays.
+
+TP/PP/SP/EP are deliberate non-goals: the model zoo tops out at ~256-filter
+convnets that fit trivially per-chip (SURVEY §2.8); the scaling axes that
+matter here are game batch and replay, both on ``dp``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "dp") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Leading-axis sharding for game batches / replay game slots."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def make_sharded_superstep(env, manager, learner, search_params, *,
+                           mesh: Mesh, batch_size: int, train_batch: int,
+                           pred_iters: int = 2):
+    """One jitted actor-learner superstep over the mesh.
+
+    self-play move-batch -> replay scatter -> sample -> SGD update.
+    Returns (superstep, placement) where ``placement(state, sp, buffer)``
+    device_puts the carried pytrees with the right shardings.  Requires
+    ``batch_size`` and the replay capacity to divide the mesh size.
+    """
+    from nuzero_tpu.training import replay as replay_lib
+    from nuzero_tpu.training.selfplay import make_selfplay_step
+
+    def net(variables, obs):
+        p, v, _ = manager.apply(variables, obs, iters_to_do=pred_iters)
+        return p, v
+
+    sp_step = make_selfplay_step(env, net, search_params, training=True)
+
+    repl = replicate(mesh)
+    shard = shard_batch(mesh)
+    n_dev = mesh.size
+
+    def place_sharded(tree):
+        """Shard leading (game) axes over dp; replicate scalars/indivisible."""
+
+        def put(x):
+            x = jax.numpy.asarray(x)
+            if x.ndim >= 1 and x.shape[0] % n_dev == 0 and x.shape[0] > 0:
+                return jax.device_put(x, shard)
+            return jax.device_put(x, repl)
+
+        return jax.tree.map(put, tree)
+
+    def placement(state, sp, buffer):
+        state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+        return state, place_sharded(sp), place_sharded(buffer)
+
+    def superstep(state, sp, buffer, rng):
+        rng, k_s, k_t = jax.random.split(rng, 3)
+        sp, finished, sp_stats = sp_step(state.params, sp)
+        buffer = replay_lib.add_games(buffer, finished)
+        batch = replay_lib.sample(buffer, k_s, train_batch)
+        state, metrics = learner.train_step(state, batch, k_t)
+        metrics.update(sp_stats)
+        return state, sp, buffer, rng, metrics
+
+    # jit follows the committed input shardings from ``placement``; XLA
+    # propagates them through the program and inserts the dp all-reduce for
+    # the gradient combine.
+    jitted = jax.jit(superstep)
+    return jitted, placement

@@ -1,0 +1,166 @@
+"""Device-resident replay buffer with game-count windowing.
+
+Behavioral target: ``Training/ReplayBuffer.py`` — a FIFO of positions whose
+window is counted in *games*, not positions (ref ``ReplayBuffer.py:24-36``),
+with uniform or late-heavy (recency-weighted) sampling
+(ref ``Training/AlphaZero.py:779-792``).
+
+TPU-native design: instead of a Ray actor holding Python tuples, the buffer
+is a pytree of fixed-shape device arrays organized as a *ring of game
+slots*: ``[capacity_games, max_game_length, ...]``.  Finished games arrive
+as whole batches from the lockstep self-play engine and are scattered into
+ring slots in one ``.at[].set``; sampling flattens (slot, position) into one
+categorical draw.  Everything jits; the buffer lives in HBM and can be
+sharded over hosts on its game axis.
+
+Value targets are the game's static terminal value broadcast over its
+positions (ref ``tic_tac_toe.py:184-190`` ``make_target`` — no per-player
+sign flip).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class FinishedGames:
+    """A batch of completed games emitted by one self-play step."""
+
+    obs: jax.Array  # f32[B, L, C, H, W]
+    policy: jax.Array  # f32[B, L, A]
+    final_value: jax.Array  # f32[B] static terminal value
+    length: jax.Array  # i32[B] positions recorded
+    game_type: jax.Array  # i32[B]
+    mask: jax.Array  # bool[B] True where the row is a real finished game
+
+
+@struct.dataclass
+class ReplayBuffer:
+    obs: jax.Array  # f32[G, L, C, H, W]
+    policy: jax.Array  # f32[G, L, A]
+    value: jax.Array  # f32[G, L]
+    length: jax.Array  # i32[G] 0 = empty slot
+    game_type: jax.Array  # i32[G]
+    seq: jax.Array  # i32[G] insertion sequence number (-1 = empty)
+    ptr: jax.Array  # i32 next ring slot
+    games_added: jax.Array  # i32 total games ever added
+
+    @property
+    def capacity(self) -> int:
+        return self.length.shape[0]
+
+    @property
+    def num_games(self) -> jax.Array:
+        return jnp.minimum(self.games_added, self.length.shape[0])
+
+    @property
+    def num_positions(self) -> jax.Array:
+        return self.length.sum()
+
+
+def create_buffer(
+    capacity_games: int,
+    max_game_length: int,
+    obs_shape: Tuple[int, ...],
+    num_actions: int,
+) -> ReplayBuffer:
+    G, L = capacity_games, max_game_length
+    return ReplayBuffer(
+        obs=jnp.zeros((G, L) + tuple(obs_shape), jnp.float32),
+        policy=jnp.zeros((G, L, num_actions), jnp.float32),
+        value=jnp.zeros((G, L), jnp.float32),
+        length=jnp.zeros(G, jnp.int32),
+        game_type=jnp.zeros(G, jnp.int32),
+        seq=jnp.full(G, -1, jnp.int32),
+        ptr=jnp.int32(0),
+        games_added=jnp.int32(0),
+    )
+
+
+def add_games(buffer: ReplayBuffer, finished: FinishedGames) -> ReplayBuffer:
+    """Scatter a batch of finished games into the ring (jit-friendly).
+
+    Masked-out rows are routed to an out-of-bounds slot index and dropped
+    by XLA's scatter ``mode='drop'`` — no host round-trip.
+    """
+    G = buffer.capacity
+    m = finished.mask
+    offset = jnp.cumsum(m.astype(jnp.int32)) - 1  # rank among real games
+    slot = (buffer.ptr + offset) % G
+    slot = jnp.where(m, slot, G)  # OOB -> dropped
+    seq = jnp.where(m, buffer.games_added + offset, 0)
+
+    L = buffer.obs.shape[1]
+    pos_valid = (
+        jnp.arange(L)[None, :] < finished.length[:, None]
+    )  # bool[B, L]
+    value = jnp.where(pos_valid, finished.final_value[:, None], 0.0)
+
+    n_new = m.sum().astype(jnp.int32)
+    return buffer.replace(
+        obs=buffer.obs.at[slot].set(finished.obs, mode="drop"),
+        policy=buffer.policy.at[slot].set(finished.policy, mode="drop"),
+        value=buffer.value.at[slot].set(value, mode="drop"),
+        length=buffer.length.at[slot].set(finished.length, mode="drop"),
+        game_type=buffer.game_type.at[slot].set(finished.game_type, mode="drop"),
+        seq=buffer.seq.at[slot].set(seq, mode="drop"),
+        ptr=(buffer.ptr + n_new) % G,
+        games_added=buffer.games_added + n_new,
+    )
+
+
+def position_weights(buffer: ReplayBuffer, late_heavy: bool) -> jax.Array:
+    """f32[G, L] unnormalized sampling weights over valid positions.
+
+    ``late_heavy`` reproduces the reference's linear recency ramp
+    (``AlphaZero.py:779-792``): weight = offset + variation * rank, with
+    rank the position's age order.  The reference ranks individual
+    positions; here the rank is the game's normalized insertion order
+    (positions within a game share a weight) — identical in distribution
+    up to within-game ordering.
+    """
+    G, L = buffer.value.shape
+    valid = jnp.arange(L)[None, :] < buffer.length[:, None]
+    if not late_heavy:
+        return valid.astype(jnp.float32)
+    num = jnp.maximum(buffer.num_games, 1).astype(jnp.float32)
+    oldest = buffer.games_added - buffer.num_games  # seq of oldest retained
+    rank = (buffer.seq - oldest + 1).astype(jnp.float32) / num  # (0, 1]
+    variation = 0.5
+    w = (1.0 - variation) / 2.0 + variation * rank
+    return jnp.where(valid, w[:, None], 0.0)
+
+
+def sample(
+    buffer: ReplayBuffer,
+    rng: jax.Array,
+    batch_size: int,
+    *,
+    late_heavy: bool = False,
+    with_replacement: bool = True,
+):
+    """Draw a training batch of positions.
+
+    Returns (obs [B, C, H, W], policy [B, A], value [B], game_type [B]).
+    Without replacement uses Gumbel top-k over the flat weight table.
+    """
+    G, L = buffer.value.shape
+    w = position_weights(buffer, late_heavy).reshape(-1)
+    logw = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)), -jnp.inf)
+    if with_replacement:
+        flat = jax.random.categorical(rng, logw, shape=(batch_size,))
+    else:
+        g = jax.random.gumbel(rng, logw.shape)
+        _, flat = jax.lax.top_k(logw + g, batch_size)
+    gi, pi = flat // L, flat % L
+    return (
+        buffer.obs[gi, pi],
+        buffer.policy[gi, pi],
+        buffer.value[gi, pi],
+        buffer.game_type[gi],
+    )

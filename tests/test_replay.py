@@ -1,0 +1,110 @@
+"""Replay buffer: ring/window semantics, targets, sampling distributions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nuzero_tpu.training.replay import (
+    FinishedGames,
+    add_games,
+    create_buffer,
+    position_weights,
+    sample,
+)
+
+OBS = (2, 3, 3)
+A = 9
+L = 9
+
+
+def _finished(n, start_val=0.0, length=5, mask=None, batch=None):
+    """Build a FinishedGames batch of `n` real games (batch rows >= n)."""
+    b = batch or n
+    obs = np.zeros((b, L) + OBS, np.float32)
+    pol = np.zeros((b, L, A), np.float32)
+    for i in range(b):
+        obs[i, :, 0, 0, 0] = start_val + i  # tag games for identification
+        obs[i, :, 0, 0, 1] = np.arange(L)  # tag positions within the game
+        pol[i, :, i % A] = 1.0
+    m = np.zeros(b, bool)
+    m[:n] = True
+    if mask is not None:
+        m = np.asarray(mask)
+    return FinishedGames(
+        obs=jnp.asarray(obs),
+        policy=jnp.asarray(pol),
+        final_value=jnp.full((b,), 1.0) * (start_val + jnp.arange(b)),
+        length=jnp.full((b,), length, jnp.int32),
+        game_type=jnp.zeros(b, jnp.int32),
+        mask=jnp.asarray(m),
+    )
+
+
+def test_add_and_counts():
+    buf = create_buffer(4, L, OBS, A)
+    buf = add_games(buf, _finished(2))
+    assert int(buf.num_games) == 2
+    assert int(buf.num_positions) == 10
+    assert int(buf.ptr) == 2
+
+
+def test_masked_rows_dropped():
+    buf = create_buffer(4, L, OBS, A)
+    fin = _finished(1, batch=3, mask=[False, True, False])
+    buf = add_games(buf, fin)
+    assert int(buf.num_games) == 1
+    # The surviving game is row 1 (tag value 1.0).
+    assert float(buf.obs[0, 0, 0, 0, 0]) == 1.0
+
+
+def test_ring_overwrites_oldest():
+    buf = create_buffer(3, L, OBS, A)
+    buf = add_games(buf, _finished(3, start_val=0))
+    buf = add_games(buf, _finished(2, start_val=100))
+    assert int(buf.games_added) == 5
+    assert int(buf.num_games) == 3
+    tags = sorted(float(buf.obs[g, 0, 0, 0, 0]) for g in range(3))
+    assert tags == [2.0, 100.0, 101.0]  # games 0,1 evicted
+
+
+def test_value_target_is_static_final_value():
+    buf = create_buffer(4, L, OBS, A)
+    buf = add_games(buf, _finished(2, start_val=7.0))
+    # game 0 final_value 7.0 broadcast over its 5 positions, zero beyond.
+    np.testing.assert_allclose(np.asarray(buf.value[0, :5]), 7.0)
+    np.testing.assert_allclose(np.asarray(buf.value[0, 5:]), 0.0)
+
+
+def test_sample_returns_valid_positions():
+    buf = create_buffer(8, L, OBS, A)
+    buf = add_games(buf, _finished(3, length=4))
+    obs, pol, val, gt = sample(buf, jax.random.key(0), 64)
+    assert obs.shape == (64,) + OBS
+    # Every sampled policy is a real recorded one-hot (never a zero row).
+    assert (np.asarray(pol).sum(axis=-1) > 0.99).all()
+
+
+def test_late_heavy_weights_favor_recent():
+    buf = create_buffer(8, L, OBS, A)
+    for i in range(6):
+        buf = add_games(buf, _finished(1, start_val=i))
+    w = np.asarray(position_weights(buf, late_heavy=True))
+    per_game = w.sum(axis=1)
+    order = np.asarray(buf.seq)
+    # weight strictly increases with insertion seq among filled slots
+    filled = np.asarray(buf.length) > 0
+    seqs, ws = order[filled], per_game[filled]
+    assert (ws[np.argsort(seqs)] == np.sort(ws)).all()
+    assert ws.max() > ws.min()
+
+
+def test_sample_without_replacement_unique():
+    buf = create_buffer(4, L, OBS, A)
+    buf = add_games(buf, _finished(4, length=9))
+    # 36 valid positions; draw 20 unique
+    obs, pol, val, gt = sample(
+        buf, jax.random.key(1), 20, with_replacement=False
+    )
+    tags = np.asarray(obs[:, 0, 0, 0])
+    pos = np.asarray(obs).reshape(20, -1)
+    assert len(np.unique(pos, axis=0)) == 20
