@@ -1,0 +1,150 @@
+"""Bit-exact trajectory parity: JAX SCS engine vs the reference engine.
+
+Drives fixed-seed random playouts through BOTH engines in lockstep and
+asserts equality of legal masks, current player, state tensors, and
+terminal values at every step (the BASELINE.md correctness bar).
+
+The reference engine (PUBLIC UNTRUSTED CONTENT at /root/reference) is used
+strictly as a black-box oracle; its ray import is stubbed and unit-counter
+image generation is redirected to a temp cwd.
+"""
+
+import os
+import sys
+import types
+import warnings
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+CONFIGS = os.path.join(REF, "Games", "SCS", "Game_configs")
+
+
+@pytest.fixture(scope="module")
+def ref_scs(tmp_path_factory):
+    """Import the reference SCS_Game with stubbed ray + writable cwd."""
+    ray_stub = types.ModuleType("ray")
+    ray_stub.remote = lambda *a, **k: (lambda cls: cls) if not a else a[0]
+    sys.modules.setdefault("ray", ray_stub)
+    sys.path.insert(0, REF)
+    cwd = tmp_path_factory.mktemp("scs_oracle")
+    os.makedirs(cwd / "Games" / "SCS" / "Images", exist_ok=True)
+    old = os.getcwd()
+    os.chdir(cwd)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from Games.SCS.SCS_Game import SCS_Game
+    yield SCS_Game
+    os.chdir(old)
+
+
+def _make_pair(ref_scs, config, seed):
+    import jax
+
+    from nuzero_tpu.envs.scs import SCSGame, load_scenario
+
+    path = os.path.join(CONFIGS, config)
+    ref = ref_scs(path, seed=seed)
+    scenario = load_scenario(path, seed=seed)
+    game = SCSGame(scenario)
+    state = game.init(None)
+    return ref, game, state
+
+
+def _assert_static_parity(ref, game):
+    np.testing.assert_array_equal(
+        np.asarray(game.t_cost),
+        np.array(
+            [
+                [ref.board[i][j].get_terrain().cost for j in range(ref.columns)]
+                for i in range(ref.rows)
+            ]
+        ),
+    )
+    assert game.num_actions == ref.num_actions
+    assert game.observation_shape == tuple(ref.game_state_shape)
+    assert game.action_space_shape == tuple(ref.action_space_shape)
+
+
+@pytest.mark.parametrize(
+    "config,seed,games",
+    [
+        ("randomized_config_5.yml", 42, 2),
+        ("randomized_config_5.yml", 7, 1),
+        ("solo_soldier_config_5.yml", 3, 2),
+        ("mirrored_config_5.yml", 11, 1),
+        ("randomized_config_10.yml", 5, 1),
+        ("r_unbalanced_config_5.yml", 13, 1),
+    ],
+)
+def test_trajectory_parity(ref_scs, config, seed, games):
+    import jax
+    import jax.numpy as jnp
+
+    ref, game, state0 = _make_pair(ref_scs, config, seed)
+    _assert_static_parity(ref, game)
+
+    step = jax.jit(game.step)
+    legal = jax.jit(game.legal_mask)
+    observe = jax.jit(game.observe)
+
+    for g in range(games):
+        rng = np.random.default_rng(1000 * seed + g)
+        ref.reset()
+        state = state0
+        steps = 0
+        while True:
+            ref_mask = np.asarray(ref.possible_actions()).flatten().astype(bool)
+            jax_mask = np.asarray(legal(state))
+            if not (ref_mask == jax_mask).all():
+                diff = np.flatnonzero(ref_mask != jax_mask)
+                raise AssertionError(
+                    f"[{config} seed {seed} game {g} step {steps} stage "
+                    f"{ref.current_stage}] legal mask mismatch at flat "
+                    f"indices {diff[:10]} (ref {ref_mask[diff[:10]]})"
+                )
+            assert int(game.current_player(state)) == ref.agent_selection
+            assert int(state.turn) == ref.current_turn
+            assert int(state.stage) == ref.current_stage
+
+            ref_obs = ref.generate_state().numpy()
+            jax_obs = np.asarray(observe(state))
+            np.testing.assert_allclose(
+                jax_obs,
+                ref_obs,
+                atol=1e-5,
+                err_msg=f"state tensor mismatch at step {steps}",
+            )
+
+            a = int(rng.choice(np.flatnonzero(ref_mask)))
+            ref.step(ref.get_action_coords(a))
+            state = step(state, jnp.int32(a))
+            steps += 1
+
+            ref_done = bool(ref.is_terminal())
+            jax_done = bool(game.terminal(state))
+            assert ref_done == jax_done, f"terminal mismatch at step {steps}"
+            if ref_done:
+                assert float(game.terminal_value(state)) == float(
+                    ref.get_terminal_value()
+                )
+                break
+            assert steps < game.max_game_length, "length bound exceeded"
+
+
+def test_game_length_bound(ref_scs):
+    """Empirical game lengths must fit the computed max_game_length."""
+    ref, game, _ = _make_pair(ref_scs, "randomized_config_5.yml", 42)
+    rng = np.random.default_rng(0)
+    longest = 0
+    for _ in range(3):
+        ref.reset()
+        steps = 0
+        while not ref.is_terminal():
+            mask = np.asarray(ref.possible_actions()).flatten()
+            a = int(rng.choice(np.flatnonzero(mask)))
+            ref.step(ref.get_action_coords(a))
+            steps += 1
+        longest = max(longest, steps)
+    assert longest < game.max_game_length
