@@ -1,0 +1,249 @@
+"""Agent zoo for evaluation (ref ``Testing/Agents/``).
+
+Each agent exposes ``policy(env) -> fn(states, lengths, rng) -> actions``:
+a *batched* action chooser over B concurrent games, jit-composable into the
+arena loop.  The reference's per-game Python agents
+(``Agent.choose_action(game)``) become vectorized policies:
+
+- ``RandomAgent``: uniform over the legal mask
+  (ref ``Agents/Generic/RandomAgent.py:11-16``).
+- ``PolicyAgent``: raw-network argmax with the reference's fallback chain —
+  argmax; if illegal, mask+renormalize and argmax; if the net puts zero
+  mass on legal actions, uniform-random legal
+  (ref ``Agents/Generic/PolicyAgent.py:19-64``).
+- ``MctsAgent``: full eval-mode (argmax-visits, no noise) batched MCTS per
+  move (ref ``Agents/Generic/MctsAgent.py:28-39``).
+- ``GoalRushAgent``: scripted SCS baseline rushing the nearest enemy
+  victory point along a host-precomputed Dijkstra distance field
+  (ref ``Agents/SCS/GoalRushAgent.py`` — the reference implementation is
+  stale vs the current SCS API (SURVEY §2.6 known bitrot); this is a
+  working re-design with the same intent).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nuzero_tpu.search.mcts import SearchParams, make_search_fn
+
+NEG_INF = jnp.float32(-1e9)
+
+
+class Agent:
+    name: str = "agent"
+
+    def policy(self, env) -> Callable:
+        """Memoized batched action chooser for ``env``.  The cache key
+        includes anything that changes the compiled program (e.g. the
+        recurrent iteration count); network parameters are runtime
+        arguments, never baked in."""
+        cache = self.__dict__.setdefault("_policy_cache", {})
+        key = (id(env), self._policy_key())
+        if key not in cache:
+            cache[key] = self._build_policy(env)
+        return cache[key]
+
+    def _policy_key(self):
+        return None
+
+    def _build_policy(self, env) -> Callable:
+        raise NotImplementedError
+
+    # Sweep support (ref TestManager.test_from_config setters).
+    def set_network(self, variables) -> None:
+        pass
+
+    def set_recurrent_iterations(self, iters: int) -> None:
+        pass
+
+
+class RandomAgent(Agent):
+    name = "random"
+
+    def _build_policy(self, env):
+        def choose(variables, states, lengths, rng):
+            del variables, lengths
+            legal = jax.vmap(env.legal_mask)(states)
+            logits = jnp.where(legal, 0.0, NEG_INF)
+            return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+        return choose
+
+
+class PolicyAgent(Agent):
+    name = "policy"
+
+    def __init__(self, manager, variables, recurrent_iterations: int = 2):
+        self.manager = manager
+        self.variables = variables
+        self.recurrent_iterations = recurrent_iterations
+
+    def set_network(self, variables):
+        self.variables = variables
+
+    def set_recurrent_iterations(self, iters):
+        self.recurrent_iterations = int(iters)
+
+    def _policy_key(self):
+        return self.recurrent_iterations
+
+    def _build_policy(self, env):
+        manager = self.manager
+        iters = self.recurrent_iterations
+
+        def choose(variables, states, lengths, rng):
+            del lengths
+            obs = jax.vmap(env.observe)(states)
+            logits, _, _ = manager.apply(variables, obs, iters_to_do=iters)
+            legal = jax.vmap(env.legal_mask)(states)
+            raw_argmax = jnp.argmax(logits, axis=-1)
+            raw_legal = jnp.take_along_axis(
+                legal, raw_argmax[:, None], axis=-1
+            )[:, 0]
+            # Fallback 1: mask + renormalize (softmax over logits), argmax.
+            probs = jax.nn.softmax(logits, axis=-1) * legal
+            masked_argmax = jnp.argmax(probs, axis=-1)
+            has_mass = probs.sum(-1) > 0
+            # Fallback 2: uniform over legal.
+            uniform = jax.random.categorical(
+                rng, jnp.where(legal, 0.0, NEG_INF), axis=-1
+            )
+            action = jnp.where(
+                raw_legal,
+                raw_argmax,
+                jnp.where(has_mass, masked_argmax, uniform),
+            )
+            return action.astype(jnp.int32)
+
+        return choose
+
+
+class MctsAgent(Agent):
+    name = "mcts"
+
+    def __init__(
+        self,
+        manager,
+        variables,
+        search_params: SearchParams,
+        recurrent_iterations: int = 2,
+    ):
+        self.manager = manager
+        self.variables = variables
+        self.search_params = search_params
+        self.recurrent_iterations = recurrent_iterations
+
+    def set_network(self, variables):
+        self.variables = variables
+
+    def set_recurrent_iterations(self, iters):
+        self.recurrent_iterations = int(iters)
+
+    def _policy_key(self):
+        return (self.recurrent_iterations, self.search_params)
+
+    def _build_policy(self, env):
+        manager = self.manager
+        iters = self.recurrent_iterations
+
+        def net(variables, obs):
+            p, v, _ = manager.apply(variables, obs, iters_to_do=iters)
+            return p, v
+
+        search = make_search_fn(env, net, self.search_params, training=False)
+
+        def choose(variables, states, lengths, rng):
+            return search(variables, states, lengths, rng).action
+
+        return choose
+
+
+class GoalRushAgent(Agent):
+    """SCS-only scripted baseline: rush the nearest enemy VP."""
+
+    name = "goal_rush"
+
+    def _build_policy(self, env):
+        dist = jnp.asarray(self._distance_fields(env))  # f32[2, R, C]
+        R, C, K = env.R, env.C, env.K
+
+        def choose(variables, states, lengths, rng):
+            del variables, lengths
+
+            def one(state, key):
+                p = env.current_player(state)
+                legal = env.legal_mask(state)
+                my_dist = dist[p]  # f32[R, C]
+
+                # Destination distance per action plane cell: movement
+                # planes score by their destination; no-move scores by the
+                # current tile (slightly discouraged); everything else
+                # random via uniform noise tie-break.
+                total_planes = env.action_space_shape[0]
+                plane_scores = jnp.full(
+                    (total_planes, R, C), 0.0, jnp.float32
+                )
+                for d in range(6):
+                    ddist = my_dist[env.nbr_r[d], env.nbr_c[d]]
+                    for s in range(K):
+                        plane_scores = plane_scores.at[
+                            1 + d * K + s
+                        ].set(ddist)
+                for s in range(K):
+                    plane_scores = plane_scores.at[
+                        env.confirm_limit + s
+                    ].set(my_dist + 0.5)  # no-move: stay put, slight malus
+                flat_scores = plane_scores.reshape(-1)
+                # Prefer LOW distance => use negative as logit, break ties
+                # randomly; non-movement actions score 0 (random among
+                # themselves).
+                noise = jax.random.uniform(key, flat_scores.shape) * 0.01
+                score = jnp.where(legal, -flat_scores - noise, NEG_INF)
+                return jnp.argmax(score).astype(jnp.int32)
+
+            B = jax.tree.leaves(states)[0].shape[0]
+            keys = jax.random.split(rng, B)
+            return jax.vmap(one)(states, keys)
+
+        return choose
+
+    @staticmethod
+    def _distance_fields(env) -> np.ndarray:
+        """Host Dijkstra over terrain entry costs to the nearest enemy VP
+        (ref ``GoalRushAgent.py:119-158``)."""
+        from nuzero_tpu.envs.scs.hexgrid import neighbor_tables
+
+        R, C = env.R, env.C
+        cost = np.asarray(env.t_cost)
+        vp = np.asarray(env.vp)
+        dst_r, dst_c, valid = neighbor_tables(R, C)
+        out = np.zeros((2, R, C), np.float32)
+        for p in (0, 1):
+            targets = np.argwhere(vp[1 - p])  # enemy VP locations
+            dist = np.full((R, C), np.inf)
+            heap = []
+            for (r, c) in targets:
+                dist[r, c] = 0.0
+                heapq.heappush(heap, (0.0, int(r), int(c)))
+            while heap:
+                d0, r, c = heapq.heappop(heap)
+                if d0 > dist[r, c]:
+                    continue
+                for k in range(6):
+                    if not valid[k, r, c]:
+                        continue
+                    nr, nc = dst_r[k, r, c], dst_c[k, r, c]
+                    # moving from neighbor INTO (r, c) costs cost[r, c];
+                    # expanding backwards from targets.
+                    nd = d0 + cost[r, c]
+                    if nd < dist[nr, nc]:
+                        dist[nr, nc] = nd
+                        heapq.heappush(heap, (nd, int(nr), int(nc)))
+            dist[np.isinf(dist)] = 1e6
+            out[p] = dist
+        return out

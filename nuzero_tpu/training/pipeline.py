@@ -102,6 +102,22 @@ class AlphaZero:
         )
         self.tr_step = jax.jit(self.learner.train_step)
         self.add_games = jax.jit(replay_lib.add_games)
+
+        # In-loop evaluation vs RandomAgent, policy/mcts x both seats
+        # (ref AlphaZero.run_tests, AlphaZero.py:596-645).
+        from nuzero_tpu.evaluation import (
+            MctsAgent,
+            PolicyAgent,
+            RandomAgent,
+            TestManager,
+        )
+
+        self.test_manager = TestManager(env, train_config.testing.testing_actors)
+        self._random_agent = RandomAgent()
+        self._policy_agent = PolicyAgent(manager, None, pred_iters)
+        self._mcts_agent = MctsAgent(
+            manager, None, search_params, pred_iters
+        )
         self.buffer = replay_lib.create_buffer(
             train_config.learning.replay_window_size,
             env.max_game_length,
@@ -158,6 +174,34 @@ class AlphaZero:
         else:
             raise ValueError(f"bad learning_method {cfg.learning_method!r}")
         return state, rng, metrics
+
+    def _run_inloop_tests(self, state: TrainState, step: int) -> dict:
+        """Policy/MCTS agents vs RandomAgent on both seats
+        (ref AlphaZero.py:596-645: test types p1_policy/p2_policy/
+        p1_mcts/p2_mcts)."""
+        cfg = self.cfg.testing
+        out = {}
+
+        def run(agent, n_games, tag, seed):
+            agent.set_network(state.params)
+            s_p0 = self.test_manager.run_test_batch(
+                n_games, agent, self._random_agent,
+                jax.random.key(seed), show_results=False,
+            )
+            s_p1 = self.test_manager.run_test_batch(
+                n_games, self._random_agent, agent,
+                jax.random.key(seed + 1), show_results=False,
+            )
+            out[f"wr/{tag}_as_p0"] = s_p0.p0_win_rate
+            out[f"wr/{tag}_as_p1"] = s_p1.p1_win_rate
+            out[f"nonloss/{tag}_as_p0"] = 1.0 - s_p0.p1_win_rate
+            out[f"nonloss/{tag}_as_p1"] = 1.0 - s_p1.p0_win_rate
+
+        if cfg.policy_test_frequency and step % cfg.policy_test_frequency == 0:
+            run(self._policy_agent, cfg.num_policy_test_games, "policy", 2 * step)
+        if cfg.mcts_test_frequency and step % cfg.mcts_test_frequency == 0:
+            run(self._mcts_agent, cfg.num_mcts_test_games, "mcts", 2 * step + 1)
+        return out
 
     # -- main loop -----------------------------------------------------------
 
@@ -216,10 +260,11 @@ class AlphaZero:
                 "step_time_s": time.time() - t0,
             }
 
-            if self.test_hook is not None and (
-                step % cfg.testing.policy_test_frequency == 0
-            ):
-                record.update(self.test_hook(state, step) or {})
+            if self.test_hook is not None:
+                if step % cfg.testing.policy_test_frequency == 0:
+                    record.update(self.test_hook(state, step) or {})
+            else:
+                record.update(self._run_inloop_tests(state, step))
 
             self.journal.append(record)
 

@@ -1,0 +1,120 @@
+"""Evaluation layer: arena, agents, TestManager sweeps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nuzero_tpu.envs import TicTacToe
+from nuzero_tpu.evaluation import (
+    GoalRushAgent,
+    MctsAgent,
+    PolicyAgent,
+    RandomAgent,
+    TestManager,
+)
+from nuzero_tpu.networks import MLPNetwork, NetworkManager, RecurrentNet
+from nuzero_tpu.search import SearchParams
+
+ENV = TicTacToe()
+
+
+@pytest.fixture(scope="module")
+def tm():
+    return TestManager(ENV)
+
+
+def test_random_vs_random(tm):
+    stats = tm.run_test_batch(
+        64, RandomAgent(), RandomAgent(), jax.random.key(0), show_results=False
+    )
+    assert stats.p0_wins + stats.p1_wins + stats.draws == 64
+    # First mover wins most random TTT games.
+    assert stats.p0_wins > stats.p1_wins
+
+
+def test_mcts_beats_random(tm):
+    mgr = NetworkManager(MLPNetwork(out_features=9), ENV.observation_shape)
+    agent = MctsAgent(
+        mgr, mgr.init(jax.random.key(0)), SearchParams(num_simulations=64)
+    )
+    s = tm.run_test_batch(
+        32, agent, RandomAgent(), jax.random.key(1), show_results=False
+    )
+    assert s.p0_win_rate + s.draw_rate >= 0.9  # near-total non-loss
+    assert s.p0_win_rate > 0.5
+    s2 = tm.run_test_batch(
+        32, RandomAgent(), agent, jax.random.key(2), show_results=False
+    )
+    assert s2.p1_win_rate + s2.draw_rate >= 0.8
+
+
+def test_policy_agent_legal_and_deterministic(tm):
+    mgr = NetworkManager(MLPNetwork(out_features=9), ENV.observation_shape)
+    agent = PolicyAgent(mgr, mgr.init(jax.random.key(3)))
+    s = tm.run_test_batch(
+        16, agent, RandomAgent(), jax.random.key(4), show_results=False
+    )
+    assert s.num_games == 16  # all games completed with legal moves
+
+
+def test_iterations_sweep(tm):
+    mgr = NetworkManager(
+        RecurrentNet(policy_channels=1, num_filters=8, num_blocks=1),
+        ENV.observation_shape,
+    )
+    variables = mgr.init(jax.random.key(5))
+    cfg = {
+        "Test": {
+            "test_type": "data",
+            "Data": {
+                "Variable": {
+                    "changing_agent": 1,
+                    "changing_parameter": {
+                        "name": "iterations",
+                        "Range": {"first": 1, "last": 3, "step": 1},
+                    },
+                },
+                "Runs": {"num_runs": 1, "num_games_per_run": 8},
+                "Testers": {"new_testers": True, "num_testers": 4},
+            },
+        },
+        "Agents": {
+            "p1_agent": {
+                "agent_type": "policy",
+                "Network": {"recurrent_iterations": 1, "load_checkpoint": False},
+            },
+            "p2_agent": {"agent_type": "random"},
+        },
+    }
+    results = tm.test_from_config(cfg, manager=mgr)
+    assert [v for v, _ in results] == [1, 2, 3]
+    for _, (p0, p1, dr) in results:
+        assert abs(p0 + p1 + dr - 1.0) < 1e-6
+
+
+def test_visual_test(tm):
+    res = tm.run_visual_test(RandomAgent(), RandomAgent(), seed=1)
+    assert 5 <= res["length"] <= 9
+    assert res["terminal_value"] in (-1.0, 0.0, 1.0)
+
+
+def test_goal_rush_on_scs():
+    from nuzero_tpu.envs.scs import SCSGame, load_scenario
+
+    scn = load_scenario(
+        "/root/reference/Games/SCS/Game_configs/solo_soldier_config_5.yml",
+        seed=3,
+    )
+    env = SCSGame(scn)
+    tm = TestManager(env)
+    # p1 (player 1) owns the only unit; goal rush should reach p0's VP.
+    s = tm.run_test_batch(
+        16, RandomAgent(), GoalRushAgent(), jax.random.key(0), show_results=False
+    )
+    assert s.p1_win_rate >= 0.9
+    # Random wanderer wins far less often.
+    s2 = tm.run_test_batch(
+        16, RandomAgent(), RandomAgent(), jax.random.key(1), show_results=False
+    )
+    assert s2.p1_win_rate <= s.p1_win_rate
