@@ -1,0 +1,264 @@
+"""CLI entry point (ref ``Run.py``).
+
+    python run.py --training-preset N [--name NAME]
+    python run.py --testing-preset N
+    python run.py --debug N
+    python run.py --interactive
+
+Training presets (ref ``Run.py:92-190``; presets re-based on the shipped
+configs under ``configs/``):
+  0: Tic-Tac-Toe + MLP (ref preset 0)
+  1: Tic-Tac-Toe + RecurrentNet
+  2: SCS 5x5 randomized + hex RecurrentNet (ref working preset 2)
+  3: SCS solo-scout + hex RecurrentNet (extrapolation training)
+
+Testing presets (ref ``Run.py:201-233``):
+  0: TTT — trained policy & mcts agents vs random (needs preset-0 run)
+  1: SCS — goal-rush vs random baseline match
+  2: SCS — recurrent-iteration extrapolation sweep on a trained net
+
+Debug presets (ref ``Run.py:328-345``):
+  0: TTT random playout smoke
+  1: SCS env random playout + ASCII render
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+RUNS = os.path.join(REPO, "runs")
+
+
+def _ttt_env():
+    from nuzero_tpu.envs import TicTacToe
+
+    return TicTacToe()
+
+
+def _scs_env(scenario_file: str, seed: int = 42):
+    from nuzero_tpu.envs.scs import SCSGame, load_scenario
+
+    scenario = load_scenario(
+        os.path.join(REPO, "configs", "scenarios", scenario_file), seed=seed
+    )
+    return SCSGame(scenario)
+
+
+def _managers(env, arch: str, hex: bool = True):
+    from nuzero_tpu.networks import (
+        MLPNetwork,
+        NetworkManager,
+        RecurrentNet,
+        ResNet,
+    )
+
+    if arch == "mlp":
+        net = MLPNetwork(out_features=env.num_actions)
+    elif arch == "recurrent":
+        net = RecurrentNet(
+            policy_channels=env.action_space_shape[0],
+            num_filters=64,
+            num_blocks=2,
+            hex=hex,
+        )
+    elif arch == "resnet":
+        net = ResNet(
+            policy_channels=env.action_space_shape[0],
+            num_filters=64,
+            num_blocks=4,
+            hex=hex,
+        )
+    else:
+        raise SystemExit(f"unknown architecture {arch!r}")
+    return NetworkManager(net, env.observation_shape)
+
+
+def _train(env, manager, train_cfg_file, search_cfg_file, name=None):
+    from nuzero_tpu.config import load_search_config, load_training_config
+    from nuzero_tpu.training import AlphaZero
+
+    cfg = load_training_config(os.path.join(REPO, "configs", "training", train_cfg_file))
+    search = load_search_config(os.path.join(REPO, "configs", "search", search_cfg_file))
+    run_name = name or cfg.network_name
+    run_dir = os.path.join(RUNS, run_name)
+    os.makedirs(run_dir, exist_ok=True)
+    # Back up configs beside checkpoints (ref AlphaZero.py:184-187).
+    import shutil
+
+    shutil.copy(
+        os.path.join(REPO, "configs", "training", train_cfg_file),
+        os.path.join(run_dir, "train_config_copy.yaml"),
+    )
+    shutil.copy(
+        os.path.join(REPO, "configs", "search", search_cfg_file),
+        os.path.join(run_dir, "search_config_copy.yaml"),
+    )
+    az = AlphaZero(env, manager, cfg, search, run_dir=run_dir)
+    if cfg.load_checkpoint:
+        state, step = az.load(cfg.checkpoint.iteration_number)
+        az.run(initial_state=state, starting_step=step)
+    else:
+        az.run()
+    print(f"run complete; artifacts in {run_dir}")
+
+
+def training_preset(idx: int, name):
+    if idx == 0:
+        env = _ttt_env()
+        _train(env, _managers(env, "mlp"), "ttt_default.yaml", "ttt_search.yaml", name)
+    elif idx == 1:
+        env = _ttt_env()
+        _train(
+            env,
+            _managers(env, "recurrent", hex=False),
+            "ttt_default.yaml",
+            "ttt_search.yaml",
+            name or "ttt_recurrent",
+        )
+    elif idx == 2:
+        env = _scs_env("open_field_5.yml")
+        _train(env, _managers(env, "recurrent"), "scs_small.yaml", "scs_search.yaml", name)
+    elif idx == 3:
+        env = _scs_env("solo_scout_5.yml")
+        _train(
+            env,
+            _managers(env, "recurrent"),
+            "scs_small.yaml",
+            "scs_search.yaml",
+            name or "scs_solo_net",
+        )
+    else:
+        raise SystemExit(f"unknown training preset {idx}")
+
+
+def testing_preset(idx: int, name):
+    import jax
+
+    from nuzero_tpu.evaluation import (
+        GoalRushAgent,
+        MctsAgent,
+        PolicyAgent,
+        RandomAgent,
+        TestManager,
+    )
+    from nuzero_tpu.search import SearchParams
+    from nuzero_tpu.utils.checkpoint import restore_checkpoint
+
+    if idx == 0:
+        env = _ttt_env()
+        manager = _managers(env, "mlp")
+        run_dir = os.path.join(RUNS, name or "ttt_net")
+        tree, step = restore_checkpoint(os.path.join(run_dir, "checkpoints"), "auto")
+        params = tree["params"]
+        tm = TestManager(env)
+        print(f"evaluating checkpoint step {step} from {run_dir}")
+        tm.run_test_batch(256, PolicyAgent(manager, params), RandomAgent())
+        tm.run_test_batch(256, RandomAgent(), PolicyAgent(manager, params))
+        agent = MctsAgent(manager, params, SearchParams(num_simulations=100))
+        tm.run_test_batch(128, agent, RandomAgent())
+        tm.run_test_batch(128, RandomAgent(), agent)
+    elif idx == 1:
+        env = _scs_env("solo_scout_5.yml")
+        tm = TestManager(env)
+        tm.run_test_batch(64, RandomAgent(), GoalRushAgent())
+        tm.run_test_batch(64, RandomAgent(), RandomAgent())
+    elif idx == 2:
+        env = _scs_env("solo_scout_5.yml")
+        manager = _managers(env, "recurrent")
+        run_dir = os.path.join(RUNS, name or "scs_solo_net")
+        tree, step = restore_checkpoint(os.path.join(run_dir, "checkpoints"), "auto")
+        tm = TestManager(env)
+        cfg = {
+            "Test": {
+                "test_type": "data",
+                "Data": {
+                    "Variable": {
+                        "changing_agent": 1,
+                        "changing_parameter": {
+                            "name": "iterations",
+                            "Range": {"first": 2, "last": 20, "step": 2},
+                        },
+                    },
+                    "Runs": {"num_runs": 1, "num_games_per_run": 64},
+                },
+            },
+            "Agents": {
+                "p1_agent": {
+                    "agent_type": "policy",
+                    "Network": {"recurrent_iterations": 2, "load_checkpoint": False},
+                },
+                "p2_agent": {"agent_type": "random"},
+            },
+        }
+        agent_params = tree["params"]
+        manager_agent = tm.create_agent_from_config(
+            cfg["Agents"]["p1_agent"], manager
+        )
+        manager_agent.set_network(agent_params)
+        results = tm.test_from_config(cfg, manager=manager)
+        print(results)
+    else:
+        raise SystemExit(f"unknown testing preset {idx}")
+
+
+def debug_preset(idx: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if idx == 0:
+        env = _ttt_env()
+        s = env.init(None)
+        rng = np.random.default_rng(0)
+        while not bool(env.terminal(s)):
+            legal = np.flatnonzero(np.asarray(env.legal_mask(s)))
+            s = env.step(s, jnp.int32(int(rng.choice(legal))))
+        print(env.render(s))
+        print("terminal value:", float(s.terminal_value))
+    elif idx == 1:
+        env = _scs_env("open_field_5.yml")
+        from nuzero_tpu.utils.render import render_scs_ascii
+
+        s = env.init(None)
+        rng = np.random.default_rng(0)
+        moves = 0
+        while not bool(env.terminal(s)) and moves < 1000:
+            legal = np.flatnonzero(np.asarray(env.legal_mask(s)))
+            s = env.step(s, jnp.int32(int(rng.choice(legal))))
+            moves += 1
+        print(render_scs_ascii(env, s))
+        print("moves:", moves, "terminal value:", float(s.terminal_value))
+    else:
+        raise SystemExit(f"unknown debug preset {idx}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="NuZero-TPU runner")
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--training-preset", type=int)
+    group.add_argument("--testing-preset", type=int)
+    group.add_argument("--debug", type=int)
+    group.add_argument("--interactive", action="store_true")
+    parser.add_argument("--name", type=str, default=None,
+                        help="run/network name override")
+    args = parser.parse_args()
+
+    if args.training_preset is not None:
+        training_preset(args.training_preset, args.name)
+    elif args.testing_preset is not None:
+        testing_preset(args.testing_preset, args.name)
+    elif args.debug is not None:
+        debug_preset(args.debug)
+    elif args.interactive:
+        from nuzero_tpu.interactive import start
+
+        start()
+
+
+if __name__ == "__main__":
+    main()
