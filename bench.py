@@ -41,7 +41,8 @@ def main():
         return p, val
 
     step = jax.jit(
-        make_selfplay_step(env, net, SearchParams(num_simulations=sims))
+        make_selfplay_step(env, net, SearchParams(num_simulations=sims)),
+        donate_argnums=(1,),
     )
     sp = init_selfplay(env, batch, jax.random.key(1))
 

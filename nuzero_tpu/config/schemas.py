@@ -45,6 +45,7 @@ class RunningConfig:
     training_steps: int = 100
     num_games_per_type_per_step: int = 12  # sequential mode
     update_delay: float = 0.0  # asynchronous mode (seconds)
+    max_trajectory_length: int = 0  # 0 = env.max_game_length (memory knob)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -184,6 +185,7 @@ def training_config_from_dict(d: dict) -> TrainingConfig:
                 "Running", "Sequential", "num_games_per_type_per_step"
             ),
             update_delay=g("Running", "Asynchronous", "update_delay"),
+            max_trajectory_length=g("Running", "max_trajectory_length"),
         ),
     )
     cache = section(

@@ -189,10 +189,7 @@ class SCSGame(Env):
 
     def _adjacent_any(self, mask):
         """bool[R,C]: tile has any hex neighbor where ``mask`` is True."""
-        out = jnp.zeros_like(mask, dtype=bool)
-        for d in range(6):
-            out = out | (mask[self.nbr_r[d], self.nbr_c[d]] & self.nbr_ok[d])
-        return out
+        return (mask[self.nbr_r, self.nbr_c] & self.nbr_ok).any(0)
 
     def _unit_pos_mask(self, state, cond):
         """bool[R,C]: any unit with cond[uid] True sits on the tile."""
@@ -284,22 +281,19 @@ class SCSGame(Env):
         lvl_mine = lvl_present & (lvl_player == p)
 
         # ---- sub-phase 1: movement + no_move (ref :423-441)
+        # All 6 directions x K levels in one stacked computation (the
+        # per-direction Python loop was dispatch-bound).
         avail = lvl_mine & (lvl_status == 0)  # [R, C, K]
-        move_planes = []
-        for d in range(6):
-            dcost = self.t_cost[self.nbr_r[d], self.nbr_c[d]]
-            dcount = count[self.nbr_r[d], self.nbr_c[d]]
-            downer = owner[self.nbr_r[d], self.nbr_c[d]]
-            ok = (
-                self.nbr_ok[d]
-                & (dcount < K)
-                & (downer != opp)
-            )
-            for s in range(K):
-                move_planes.append(
-                    avail[:, :, s] & ok & (lvl_mov[:, :, s] - dcost >= 0)
-                )
-        movement = jnp.stack(move_planes)  # [6K, R, C]
+        dcost = self.t_cost[self.nbr_r, self.nbr_c]  # [6, R, C]
+        dcount = count[self.nbr_r, self.nbr_c]
+        downer = owner[self.nbr_r, self.nbr_c]
+        ok = self.nbr_ok & (dcount < K) & (downer != opp)  # [6, R, C]
+        can = (
+            avail[None]  # [1, R, C, K]
+            & ok[:, :, :, None]
+            & (lvl_mov[None] - dcost[:, :, :, None] >= 0)
+        )  # [6, R, C, K]
+        movement = jnp.moveaxis(can, 3, 1).reshape(6 * K, R, C)
         no_move = jnp.moveaxis(avail, -1, 0)  # [K, R, C]
 
         # ---- sub-phase 2: choose target + no_fight (ref :447-458)
@@ -619,7 +613,7 @@ class SCSGame(Env):
             mov=jnp.where(on, self.u_allowance, state.mov),
         )
 
-    def _check_termination(self, state):
+    def _termination_value(self, state):
         """(ref check_termination, SCS_Game.py:857-894)."""
         owner = self._tile_owner(state.board)
         # victory_points[p] are player p's OWN locations; captured when the
@@ -628,101 +622,77 @@ class SCSGame(Env):
         p1_captured = (self.vp[1] & (owner == 0)).sum().astype(jnp.float32)
         p1_pct = p1_captured / jnp.maximum(self.n_vp[1], 1.0)
         p2_pct = p2_captured / jnp.maximum(self.n_vp[0], 1.0)
-        value = jnp.where(
+        return jnp.where(
             p1_pct > p2_pct, 1.0, jnp.where(p1_pct < p2_pct, -1.0, 0.0)
-        )
-        return state.replace(
-            terminal=jnp.bool_(True), terminal_value=jnp.float32(value)
-        )
+        ).astype(jnp.float32)
 
     def _update_env(self, state: SCSState) -> SCSState:
         """Bounded functional version of the reference's stage-advance loop
-        (ref update_game_env, SCS_Game.py:687-831)."""
+        (ref update_game_env, SCS_Game.py:687-831).
+
+        Each iteration computes the seven stage predicates ONCE and derives
+        the transition with scalar selects (a lax.switch of per-stage
+        closures evaluates every branch under vmap — measured ~10x the op
+        count of this form)."""
 
         def advance(carry):
-            state, _ = carry
+            s, _ = carry
+            stage = s.stage
+            er0 = self._ended_reinforcements(s, 0)
+            er1 = self._ended_reinforcements(s, 1)
+            nm0 = self._no_units_with_status(s, 0, 0)
+            nm1 = self._no_units_with_status(s, 1, 0)
+            na0 = self._no_units_with_status(s, 0, 1)
+            na1 = self._no_units_with_status(s, 1, 1)
+            ht = s.has_target
 
-            def stay(s):
-                return s, jnp.bool_(False)
+            def at(v):
+                return stage == v
 
-            def st_m2(s):  # turn-0 P1 placement
-                done = self._ended_reinforcements(s, 0)
-                return s.replace(
-                    stage=jnp.where(done, -1, s.stage)
-                ), done
+            game_over = at(6) & na1 & (s.turn + 1 > self.scenario.turns)
+            next_turn = at(6) & na1 & ~game_over
 
-            def st_m1(s):  # turn-0 P2 placement
-                done = self._ended_reinforcements(s, 1)
-                return s.replace(
-                    stage=jnp.where(done, 0, s.stage),
-                    turn=s.turn + done.astype(jnp.int32),
-                ), done
+            new_stage = stage
+            for cond, tgt in (
+                (at(-2) & er0, -1),
+                (at(-1) & er1, 0),
+                (at(0) & er0, 1),
+                (at(1) & nm0, 2),
+                (at(2) & na0, 4),
+                (at(2) & ~na0 & ht, 3),
+                (at(3) & ~ht, 2),
+                (at(4) & er1, 5),
+                (at(5) & nm1, 6),
+                (next_turn, 0),
+                (at(6) & ~na1 & ht, 7),
+                (at(7) & ~ht, 6),
+            ):
+                new_stage = jnp.where(cond, tgt, new_stage)
+            inc_turn = (at(-1) & er1) | next_turn
 
-            def st_0(s):
-                done = self._ended_reinforcements(s, 0)
-                return s.replace(stage=jnp.where(done, 1, s.stage)), done
+            advanced = (new_stage != stage) | inc_turn
+            # game_over BREAKS the loop with terminal set (ref :764-766).
+            advanced = advanced & ~s.terminal & ~game_over
 
-            def st_1(s):
-                done = self._no_units_with_status(s, 0, 0)
-                return s.replace(stage=jnp.where(done, 2, s.stage)), done
-
-            def st_2(s):
-                done_att = self._no_units_with_status(s, 0, 1)
-                chose = s.has_target
-                new_stage = jnp.where(
-                    done_att, 4, jnp.where(chose, 3, s.stage)
-                )
-                return s.replace(stage=new_stage), done_att | chose
-
-            def st_3(s):
-                confirmed = ~s.has_target
-                return s.replace(
-                    stage=jnp.where(confirmed, 2, s.stage)
-                ), confirmed
-
-            def st_4(s):
-                done = self._ended_reinforcements(s, 1)
-                return s.replace(stage=jnp.where(done, 5, s.stage)), done
-
-            def st_5(s):
-                done = self._no_units_with_status(s, 1, 0)
-                return s.replace(stage=jnp.where(done, 6, s.stage)), done
-
-            def st_6(s):
-                done_att = self._no_units_with_status(s, 1, 1)
-                chose = s.has_target
-                game_over = done_att & (s.turn + 1 > self.scenario.turns)
-                next_turn = done_att & ~game_over
-
-                def on_next(s):
-                    return self._new_turn(
-                        s.replace(turn=s.turn + 1, stage=jnp.int32(0))
-                    )
-
-                s = jax.lax.cond(next_turn, on_next, lambda s: s, s)
-                s = jax.lax.cond(
-                    game_over, self._check_termination, lambda s: s, s
-                )
-                s = s.replace(
-                    stage=jnp.where(
-                        chose & ~done_att, 7, s.stage
-                    )
-                )
-                # game_over BREAKS the loop (ref :764-766).
-                return s, (next_turn | (chose & ~done_att))
-
-            def st_7(s):
-                confirmed = ~s.has_target
-                return s.replace(
-                    stage=jnp.where(confirmed, 6, s.stage)
-                ), confirmed
-
-            branches = [st_m2, st_m1, st_0, st_1, st_2, st_3, st_4, st_5, st_6, st_7]
-            new_state, advanced = jax.lax.switch(
-                state.stage + 2, branches, state
+            s = s.replace(
+                stage=new_stage.astype(jnp.int32),
+                turn=s.turn + inc_turn.astype(jnp.int32),
             )
-            advanced = advanced & ~state.terminal & ~new_state.terminal
-            return new_state, advanced
+            # new_turn reset on turn rollover (ref new_turn, :845-855).
+            on = s.placed & s.alive & next_turn
+            s = s.replace(
+                status=jnp.where(on, 0, s.status),
+                mov=jnp.where(on, self.u_allowance, s.mov),
+            )
+            # Termination value (ref check_termination, :857-894).
+            fire = game_over & ~s.terminal
+            s = s.replace(
+                terminal=s.terminal | game_over,
+                terminal_value=jnp.where(
+                    fire, self._termination_value(s), s.terminal_value
+                ),
+            )
+            return s, advanced
 
         state, cont = advance((state, jnp.bool_(True)))
         state, _ = jax.lax.while_loop(
@@ -747,45 +717,48 @@ class SCSGame(Env):
             self.vp[1][None].astype(f),
         ]
 
-        # Reinforcements: next N_REINF_SHOWN unplaced units per player.
+        # Reinforcements: next N_REINF_SHOWN unplaced units per player,
+        # assembled as stacked tensors (per-channel Python loops are
+        # dispatch-bound).
         turns_total = jnp.float32(self.scenario.turns + 1)
         for p in range(2):
-            for k in range(N_REINF_SHOWN):
-                idx = state.reinf_next[p] + k
-                ok = idx < self.reinf_count[p]
-                slot = jnp.minimum(idx, S - 1)
-                uid = p * S + slot
-                arrival = self.reinf_arrival[p, slot].astype(f) * ok
-                chans.append(arrival[None] * self.u_attack[uid])
-                chans.append(arrival[None] * self.u_defense[uid])
-                chans.append(arrival[None] * self.u_allowance[uid])
-                turns_left = (
-                    self.reinf_turn[p, slot].astype(f) - state.turn.astype(f)
-                )
-                importance = (turns_total - turns_left) / turns_total
-                dur = jnp.full((3, R, C), importance * ok, f)
-                chans.append(dur)
+            idx = state.reinf_next[p] + jnp.arange(N_REINF_SHOWN)
+            ok = (idx < self.reinf_count[p]).astype(f)  # [3]
+            slot = jnp.minimum(idx, S - 1)
+            uid = p * S + slot
+            arrival = self.reinf_arrival[p, slot].astype(f) * ok[:, None, None]
+            stats = jnp.stack(
+                [self.u_attack[uid], self.u_defense[uid], self.u_allowance[uid]],
+                axis=1,
+            )  # [3, 3stats]
+            stats_planes = (
+                arrival[:, None] * stats[:, :, None, None]
+            )  # [3, 3, R, C]
+            turns_left = self.reinf_turn[p, slot].astype(f) - state.turn.astype(f)
+            importance = (turns_total - turns_left) / turns_total * ok  # [3]
+            dur = jnp.broadcast_to(
+                importance[:, None, None, None], (N_REINF_SHOWN, 3, R, C)
+            )
+            per_unit = jnp.concatenate([stats_planes, dur], axis=1)
+            chans.append(per_unit.reshape(N_REINF_SHOWN * 6, R, C))
 
-        # Units by (player, status, stacking level).
+        # Units by (player, status, stacking level) — one broadcasted
+        # one-hot product instead of 2x3xK channel loops.
         lvl_uid = state.board
         present = lvl_uid >= 0
         safe = jnp.maximum(lvl_uid, 0)
         lvl_player = safe // S
         lvl_status = state.status[safe]
-        lvl_attack = self.u_attack[safe]
-        lvl_defense = self.u_defense[safe]
-        lvl_mov = state.mov[safe]
-        for p in range(2):
-            for status in range(N_STATUSES):
-                for s in range(K):
-                    m = (
-                        present[:, :, s]
-                        & (lvl_player[:, :, s] == p)
-                        & (lvl_status[:, :, s] == status)
-                    ).astype(f)
-                    chans.append((m * lvl_attack[:, :, s])[None])
-                    chans.append((m * lvl_defense[:, :, s])[None])
-                    chans.append((m * lvl_mov[:, :, s])[None])
+        lvl_stats = jnp.stack(
+            [self.u_attack[safe], self.u_defense[safe], state.mov[safe]]
+        )  # [3stat, R, C, K]
+        pm = lvl_player[None] == jnp.arange(2)[:, None, None, None]  # [2,R,C,K]
+        sm = lvl_status[None] == jnp.arange(N_STATUSES)[:, None, None, None]
+        m = (present[None, None] & pm[:, None] & sm[None]).astype(f)
+        # [2, status, stat, R, C, K] -> [2, status, K, stat, R, C]
+        units = m[:, :, None] * lvl_stats[None, None]
+        units = jnp.transpose(units, (0, 1, 5, 2, 3, 4))
+        chans.append(units.reshape(2 * N_STATUSES * K * N_STATS, R, C))
 
         target = (
             jnp.zeros((R, C), f)

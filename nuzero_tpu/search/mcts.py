@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from nuzero_tpu.search.tree import Tree, init_tree, write_state
+from nuzero_tpu.search.tree import Tree, init_tree
 
 NEG_INF = jnp.float32(-1e9)
 
@@ -118,7 +118,8 @@ def _puct_scores(tree: Tree, node: jax.Array, params: SearchParams):
 
 
 def _descend(tree: Tree, params: SearchParams):
-    """Walk from the root to a frontier; single-game.  Returns
+    """Walk from the root to a frontier (pure gathers over the packed
+    tree — no env work).  Single-game.  Returns
     (stop_node, sel_action, needs_alloc)."""
 
     def cond(carry):
@@ -134,9 +135,9 @@ def _descend(tree: Tree, params: SearchParams):
         # Cases: (a) node unexpanded/terminal -> stop here, no alloc;
         #        (b) chosen child missing -> stop, alloc;
         #        (c) chosen child exists -> continue from child.
-        stop = ~can_continue | (child == -1)
-        nxt = jnp.where(can_continue & (child != -1), child, node)
-        return nxt, jnp.where(can_continue, action, 0), stop
+        follow = can_continue & (child != -1)
+        nxt = jnp.where(follow, child, node)
+        return nxt, jnp.where(can_continue, action, 0), ~follow
 
     node, action, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(False))
@@ -186,6 +187,11 @@ def make_search_fn(
     A = env.num_actions
     num_nodes = params.num_simulations + 1
 
+    from nuzero_tpu.utils.packing import make_packer
+
+    _template = env.init(jax.random.key(0))
+    pack, unpack, state_dim = make_packer(_template)
+
     def evaluate_batch(variables, states_b):
         obs = jax.vmap(env.observe)(states_b)
         logits, value = apply_fn(variables, obs)
@@ -198,7 +204,12 @@ def make_search_fn(
 
     def search(variables, states, game_lengths, rng):
         B = jax.tree.leaves(states)[0].shape[0]
-        tree = jax.vmap(lambda s: init_tree(env, num_nodes, s))(states)
+        tree = jax.vmap(lambda _: init_tree(A, num_nodes, state_dim))(
+            jnp.arange(B)
+        )
+        tree = tree.replace(
+            states=tree.states.at[:, 0].set(jax.vmap(pack)(states))
+        )
 
         # --- Root evaluation == the reference's first simulation on a
         # fresh root (expand + one backup), batched across games.
@@ -232,38 +243,50 @@ def make_search_fn(
                 lambda t: _descend(t, params)
             )(tree)
 
-            # Allocate (masked): step the parent's stored state.
-            parent_state = jax.vmap(
-                lambda t, i: jax.tree.map(lambda x: x[i], t.states)
-            )(tree, stop_node)
-            new_state = jax.vmap(env.step)(parent_state, action)
+            # Allocate (masked): step the stop node's stored state once.
+            stop_state = jax.vmap(lambda t, i: unpack(t.states[i]))(
+                tree, stop_node
+            )
+            stepped = jax.vmap(env.step)(stop_state, action)
+            leaf_state = jax.tree.map(
+                lambda new, old: jnp.where(
+                    needs_alloc.reshape((B,) + (1,) * (old.ndim - 1)),
+                    new,
+                    old,
+                ),
+                stepped,
+                stop_state,
+            )
             new_idx = jnp.where(needs_alloc, tree.next_free, jnp.int32(0))
 
-            def write_alloc(t, idx, pnode, act, st, do):
-                states = write_state(t.states, jnp.where(do, idx, t.next_free), st)
-                # (writing to next_free when masked keeps slot 0 intact;
-                #  next_free only advances when do=True so the garbage slot
-                #  gets overwritten by the next real allocation)
+            def write_alloc(t, idx, pnode, act, packed, do):
                 child = t.child.at[pnode, act].set(
                     jnp.where(do, idx, t.child[pnode, act])
                 )
                 parent = t.parent.at[idx].set(jnp.where(do, pnode, t.parent[idx]))
+                # Masked-out games park the write in the (unallocated)
+                # next_free slot, which the next real allocation overwrites.
+                states = t.states.at[jnp.where(do, idx, t.next_free)].set(
+                    packed
+                )
                 return t.replace(
-                    states=states,
                     child=child,
                     parent=parent,
+                    states=states,
                     next_free=t.next_free + do.astype(jnp.int32),
                 )
 
             tree = jax.vmap(write_alloc)(
-                tree, new_idx, stop_node, action, new_state, needs_alloc
+                tree,
+                new_idx,
+                stop_node,
+                action,
+                jax.vmap(pack)(leaf_state),
+                needs_alloc,
             )
             leaf = jnp.where(needs_alloc, new_idx, stop_node)
 
             # Evaluate all leaves in ONE batched network call.
-            leaf_state = jax.vmap(
-                lambda t, i: jax.tree.map(lambda x: x[i], t.states)
-            )(tree, leaf)
             priors, legal, value, is_term, tval = evaluate_batch(
                 variables, leaf_state
             )

@@ -6,20 +6,23 @@ objects traversed one simulation at a time with batch-1 NN inference
 tree is a struct-of-arrays pytree with a fixed node budget per game:
 
 - node stats are ``[num_nodes]`` vectors (visit counts, value sums, ...),
-- edges are ``[num_nodes, num_actions]`` tables (priors, child indices),
-- each node stores the *environment state* it corresponds to (leading-dim
-  ``num_nodes`` pytree), so simulations never re-step from the root the way
-  the reference's ``shallow_clone`` loop does (ref ``Explorer.py:51-58`` —
-  the single most expensive part of the reference's hot loop).
+- edges are ``[num_nodes, num_actions]`` tables (priors, child indices).
 
-A batch of B independent games is just this structure vmapped to leading
-dim B; every simulation's leaf evaluations across the whole batch fuse into
-one MXU-sized network call.
+Each node stores the env state it corresponds to — but PACKED into a flat
+``f32[D]`` vector (``utils/packing.py``), so node storage is ``[B, N, D]``
+with a large minor dimension and negligible tile padding.  (Storing raw
+state pytrees pads small trailing dims 10-60x; re-stepping the env along
+the path instead — the reference's ``shallow_clone`` scratch games,
+``Explorer.py:51-58`` — was measured dispatch-bound: every descent edge
+costs an env.step with its own nested stage loop.  Packed per-node states
+make descent pure gathers and run env.step exactly once per simulation.)
+
+A batch of B independent games is this structure vmapped to leading dim B;
+every simulation's leaf evaluations across the whole batch fuse into one
+MXU-sized network call.
 """
 
 from __future__ import annotations
-
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -42,20 +45,15 @@ class Tree:
     prior: jax.Array  # f32 masked-renormalized priors
     legal: jax.Array  # bool legal-action mask at each node
     child: jax.Array  # i32 child node index or -1
-    # Env state per node: pytree with leading dim N.
-    states: Any
+    # Packed env state per node, f32[N, D] (see utils/packing.py).
+    states: jax.Array
     # Scalars.
     next_free: jax.Array  # i32 next unallocated slot
 
 
-def init_tree(env, num_nodes: int, root_state) -> Tree:
-    """Fresh single-game tree with the root state written to slot 0."""
-    A = env.num_actions
-
-    def tile_slot0(x):
-        out = jnp.zeros((num_nodes,) + x.shape, x.dtype)
-        return out.at[0].set(x)
-
+def init_tree(num_actions: int, num_nodes: int, state_dim: int) -> Tree:
+    """Fresh single-game tree (root at slot 0, not yet expanded)."""
+    A = num_actions
     return Tree(
         visit=jnp.zeros(num_nodes, jnp.int32),
         value_sum=jnp.zeros(num_nodes, jnp.float32),
@@ -67,15 +65,6 @@ def init_tree(env, num_nodes: int, root_state) -> Tree:
         prior=jnp.zeros((num_nodes, A), jnp.float32),
         legal=jnp.zeros((num_nodes, A), bool),
         child=jnp.full((num_nodes, A), UNVISITED, jnp.int32),
-        states=jax.tree.map(tile_slot0, root_state),
+        states=jnp.zeros((num_nodes, state_dim), jnp.float32),
         next_free=jnp.int32(1),
     )
-
-
-def node_state(tree: Tree, idx: jax.Array):
-    """Env state stored at node ``idx`` (single-game tree)."""
-    return jax.tree.map(lambda x: x[idx], tree.states)
-
-
-def write_state(tree_states, idx: jax.Array, state):
-    return jax.tree.map(lambda buf, s: buf.at[idx].set(s), tree_states, state)

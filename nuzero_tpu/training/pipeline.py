@@ -86,8 +86,11 @@ class AlphaZero:
             return p, v
 
         self._net = net
+        # donate the carried self-play state: its trajectory buffers are
+        # the largest live arrays and must not be double-buffered.
         self.sp_step = jax.jit(
-            make_selfplay_step(env, net, search_params, training=True)
+            make_selfplay_step(env, net, search_params, training=True),
+            donate_argnums=(1,),
         )
         # Early-fill exploration overrides (ref AlphaZero.py:385-387,503-517
         # + Running config early_* keys).
@@ -98,10 +101,14 @@ class AlphaZero:
             epsilon_random_exploration=train_config.running.early_random_exploration,
         )
         self.sp_step_early = jax.jit(
-            make_selfplay_step(env, net, early_params, training=True)
+            make_selfplay_step(env, net, early_params, training=True),
+            donate_argnums=(1,),
         )
-        self.tr_step = jax.jit(self.learner.train_step)
-        self.add_games = jax.jit(replay_lib.add_games)
+        self.tr_step = jax.jit(self.learner.train_step, donate_argnums=(0,))
+        self.add_games = jax.jit(replay_lib.add_games, donate_argnums=(0,))
+        self.trajectory_length = (
+            train_config.running.max_trajectory_length or env.max_game_length
+        )
 
         # In-loop evaluation vs RandomAgent, policy/mcts x both seats
         # (ref AlphaZero.run_tests, AlphaZero.py:596-645).
@@ -120,7 +127,7 @@ class AlphaZero:
         )
         self.buffer = replay_lib.create_buffer(
             train_config.learning.replay_window_size,
-            env.max_game_length,
+            self.trajectory_length,
             env.observation_shape,
             env.num_actions,
         )
@@ -215,7 +222,9 @@ class AlphaZero:
         rng = jax.random.key(seed)
         rng, k_init, k_sp = jax.random.split(rng, 3)
         state = initial_state or self.learner.init_state(k_init)
-        sp = init_selfplay(self.env, cfg.running.num_actors, k_sp)
+        sp = init_selfplay(
+            self.env, cfg.running.num_actors, k_sp, self.trajectory_length
+        )
 
         if cfg.running.early_fill_per_type > 0 and starting_step == 0:
             t0 = time.time()

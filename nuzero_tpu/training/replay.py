@@ -31,7 +31,7 @@ from flax import struct
 class FinishedGames:
     """A batch of completed games emitted by one self-play step."""
 
-    obs: jax.Array  # f32[B, L, C, H, W]
+    obs: jax.Array  # f32[B, L, C*H*W] (flat; see SelfplayState.obs_buf)
     policy: jax.Array  # f32[B, L, A]
     final_value: jax.Array  # f32[B] static terminal value
     length: jax.Array  # i32[B] positions recorded
@@ -41,7 +41,8 @@ class FinishedGames:
 
 @struct.dataclass
 class ReplayBuffer:
-    obs: jax.Array  # f32[G, L, C, H, W]
+    obs: jax.Array  # f32[G, L, C*H*W] (flat storage; reshaped at sample)
+    obs_shape: Tuple[int, ...] = struct.field(pytree_node=False)
     policy: jax.Array  # f32[G, L, A]
     value: jax.Array  # f32[G, L]
     length: jax.Array  # i32[G] 0 = empty slot
@@ -70,8 +71,12 @@ def create_buffer(
     num_actions: int,
 ) -> ReplayBuffer:
     G, L = capacity_games, max_game_length
+    obs_flat = 1
+    for d in obs_shape:
+        obs_flat *= d
     return ReplayBuffer(
-        obs=jnp.zeros((G, L) + tuple(obs_shape), jnp.float32),
+        obs=jnp.zeros((G, L, obs_flat), jnp.float32),
+        obs_shape=tuple(obs_shape),
         policy=jnp.zeros((G, L, num_actions), jnp.float32),
         value=jnp.zeros((G, L), jnp.float32),
         length=jnp.zeros(G, jnp.int32),
@@ -158,8 +163,9 @@ def sample(
         g = jax.random.gumbel(rng, logw.shape)
         _, flat = jax.lax.top_k(logw + g, batch_size)
     gi, pi = flat // L, flat % L
+    obs = buffer.obs[gi, pi].reshape((batch_size,) + buffer.obs_shape)
     return (
-        buffer.obs[gi, pi],
+        obs,
         buffer.policy[gi, pi],
         buffer.value[gi, pi],
         buffer.game_type[gi],

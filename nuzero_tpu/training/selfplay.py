@@ -29,7 +29,8 @@ from nuzero_tpu.training.replay import FinishedGames
 @struct.dataclass
 class SelfplayState:
     games: Any  # EnvState batch [B]
-    obs_buf: jax.Array  # f32[B, L, C, H, W] positions so far
+    obs_buf: jax.Array  # f32[B, L, C*H*W] positions so far (flattened:
+    # trailing (H, W) dims would tile-pad ~50x on TPU for small boards)
     policy_buf: jax.Array  # f32[B, L, A] search policy targets
     move_count: jax.Array  # i32[B] moves played in current game
     rng: jax.Array
@@ -37,15 +38,22 @@ class SelfplayState:
     total_games: jax.Array  # i32 stats: games completed since init
 
 
-def init_selfplay(env, batch_size: int, rng: jax.Array) -> SelfplayState:
+def init_selfplay(
+    env, batch_size: int, rng: jax.Array, trajectory_capacity: int = 0
+) -> SelfplayState:
+    """``trajectory_capacity`` bounds stored moves per game (0 = the env's
+    hard ``max_game_length``); games that overrun are discarded and reset
+    (the bound formula is deliberately loose — a tight capacity saves the
+    dominant trajectory-buffer memory)."""
     rng, sub = jax.random.split(rng)
     games = jax.vmap(env.init)(jax.random.split(sub, batch_size))
-    L = env.max_game_length
+    L = trajectory_capacity or env.max_game_length
+    obs_flat = 1
+    for d in env.observation_shape:
+        obs_flat *= d
     return SelfplayState(
         games=games,
-        obs_buf=jnp.zeros(
-            (batch_size, L) + tuple(env.observation_shape), jnp.float32
-        ),
+        obs_buf=jnp.zeros((batch_size, L, obs_flat), jnp.float32),
         policy_buf=jnp.zeros((batch_size, L, env.num_actions), jnp.float32),
         move_count=jnp.zeros(batch_size, jnp.int32),
         rng=rng,
@@ -74,7 +82,7 @@ def make_selfplay_step(
 
         # Record the pre-move position + its search policy
         # (ref Gamer.py:65-66,74-77 store_state/store_search_statistics).
-        obs = jax.vmap(env.observe)(sp.games)
+        obs = jax.vmap(env.observe)(sp.games).reshape(B, -1)
         bidx = jnp.arange(B)
         obs_buf = sp.obs_buf.at[bidx, sp.move_count].set(obs)
         policy_buf = sp.policy_buf.at[bidx, sp.move_count].set(
@@ -83,6 +91,8 @@ def make_selfplay_step(
 
         stepped = jax.vmap(env.step)(sp.games, res.action)
         done = jax.vmap(env.terminal)(stepped)
+        L = sp.obs_buf.shape[1]
+        overflow = (~done) & (sp.move_count + 1 >= L)
 
         finished = FinishedGames(
             obs=obs_buf,
@@ -93,15 +103,17 @@ def make_selfplay_step(
             mask=done,
         )
 
-        # Auto-reset finished games with fresh keys.
+        # Auto-reset finished games (and discard trajectory-overflow
+        # games) with fresh keys.
+        recycle = done | overflow
         fresh = jax.vmap(env.init)(jax.random.split(k_reset, B))
 
         def select(f, s):
-            cond = done.reshape((B,) + (1,) * (s.ndim - 1))
+            cond = recycle.reshape((B,) + (1,) * (s.ndim - 1))
             return jnp.where(cond, f, s)
 
         games = jax.tree.map(select, fresh, stepped)
-        move_count = jnp.where(done, 0, sp.move_count + 1)
+        move_count = jnp.where(recycle, 0, sp.move_count + 1)
 
         stats = {
             "finished": done.sum(),

@@ -20,11 +20,11 @@ L = 9
 def _finished(n, start_val=0.0, length=5, mask=None, batch=None):
     """Build a FinishedGames batch of `n` real games (batch rows >= n)."""
     b = batch or n
-    obs = np.zeros((b, L) + OBS, np.float32)
+    obs = np.zeros((b, L, int(np.prod(OBS))), np.float32)  # flat storage
     pol = np.zeros((b, L, A), np.float32)
     for i in range(b):
-        obs[i, :, 0, 0, 0] = start_val + i  # tag games for identification
-        obs[i, :, 0, 0, 1] = np.arange(L)  # tag positions within the game
+        obs[i, :, 0] = start_val + i  # tag games for identification
+        obs[i, :, 1] = np.arange(L)  # tag positions within the game
         pol[i, :, i % A] = 1.0
     m = np.zeros(b, bool)
     m[:n] = True
@@ -54,7 +54,7 @@ def test_masked_rows_dropped():
     buf = add_games(buf, fin)
     assert int(buf.num_games) == 1
     # The surviving game is row 1 (tag value 1.0).
-    assert float(buf.obs[0, 0, 0, 0, 0]) == 1.0
+    assert float(buf.obs[0, 0, 0]) == 1.0
 
 
 def test_ring_overwrites_oldest():
@@ -63,7 +63,7 @@ def test_ring_overwrites_oldest():
     buf = add_games(buf, _finished(2, start_val=100))
     assert int(buf.games_added) == 5
     assert int(buf.num_games) == 3
-    tags = sorted(float(buf.obs[g, 0, 0, 0, 0]) for g in range(3))
+    tags = sorted(float(buf.obs[g, 0, 0]) for g in range(3))
     assert tags == [2.0, 100.0, 101.0]  # games 0,1 evicted
 
 
@@ -105,6 +105,5 @@ def test_sample_without_replacement_unique():
     obs, pol, val, gt = sample(
         buf, jax.random.key(1), 20, with_replacement=False
     )
-    tags = np.asarray(obs[:, 0, 0, 0])
     pos = np.asarray(obs).reshape(20, -1)
     assert len(np.unique(pos, axis=0)) == 20
