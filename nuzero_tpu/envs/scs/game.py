@@ -787,3 +787,78 @@ class SCSGame(Env):
         chans.append(player_plane)
 
         return jnp.concatenate(chans, axis=0)
+
+    # -- artificial probe states ------------------------------------------- #
+
+    def simple_state(self, turn: int, placements) -> SCSState:
+        """Build an artificial mid-game state for value probing
+        (ref ``set_simple_game_state``, SCS_Game.py:948-978).
+
+        ``placements``: iterable of ``(player, row, col)`` with player in
+        {0, 1}.  Each player's units reuse that player's earliest
+        reinforcement slots (the reference instead instantiates fresh units
+        of a given type id; shipped scenarios use one unit type, so slot
+        stats coincide).  All reinforcement-schedule entries arriving at or
+        before ``turn`` are cleared, mirroring the reference's
+        ``current_reinforcements[...][0..turn].clear()``.  The state is left
+        at stage 0 of ``turn`` and auto-advanced, so probes sit at player
+        0's movement sub-phase with every placed unit available.
+
+        Host-side constructor — probe sets are built once at startup, so
+        this is not jitted.
+        """
+        placements = list(placements)
+        R, C, K, S = self.R, self.C, self.K, self.S
+        n_per = [0, 0]
+        board = np.full((R, C, K), -1, np.int32)
+        row = np.zeros(2 * S, np.int32)
+        col = np.zeros(2 * S, np.int32)
+        alive = np.zeros(2 * S, bool)
+        for p, r, c in placements:
+            if p not in (0, 1):
+                raise ValueError(f"player must be 0 or 1, got {p}")
+            if n_per[p] >= S:
+                raise ValueError(
+                    f"scenario only has {S} unit slots for player {p}"
+                )
+            uid = p * S + n_per[p]
+            n_per[p] += 1
+            lvl = int((board[r, c] >= 0).sum())
+            if lvl >= K:
+                raise ValueError(f"stacking limit {K} exceeded at ({r},{c})")
+            board[r, c, lvl] = uid
+            row[uid], col[uid] = r, c
+            alive[uid] = True
+
+        reinf_turn = np.asarray(self.reinf_turn)
+        reinf_count = np.asarray(self.reinf_count)
+        reinf_next = np.zeros(2, np.int32)
+        for p in range(2):
+            cleared = int(
+                ((reinf_turn[p, : reinf_count[p]] <= turn)).sum()
+            )
+            reinf_next[p] = max(cleared, n_per[p])
+
+        alive_j = jnp.asarray(alive)
+        state = SCSState(
+            board=jnp.asarray(board),
+            alive=alive_j,
+            placed=alive_j,
+            row=jnp.asarray(row),
+            col=jnp.asarray(col),
+            mov=jnp.where(alive_j, self.u_allowance, 0.0),
+            status=jnp.zeros(2 * S, jnp.int32),
+            reinf_next=jnp.asarray(reinf_next),
+            turn=jnp.int32(turn),
+            stage=jnp.int32(0),
+            length=jnp.int32(0),
+            terminal=jnp.bool_(False),
+            terminal_value=jnp.float32(0.0),
+            has_target=jnp.bool_(False),
+            target_row=jnp.int32(0),
+            target_col=jnp.int32(0),
+            is_attacker=jnp.zeros(2 * S, bool),
+            attacker_seq=jnp.full(2 * S, 10**6, jnp.int32),
+            n_attackers=jnp.int32(0),
+        )
+        return self._update_env(state)

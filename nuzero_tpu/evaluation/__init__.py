@@ -7,6 +7,14 @@ from nuzero_tpu.evaluation.agents import (
 )
 from nuzero_tpu.evaluation.arena import MatchStats, play_matches
 from nuzero_tpu.evaluation.manager import TestManager
+from nuzero_tpu.evaluation.state_sets import (
+    STATE_SET_BUILDERS,
+    build_state_set,
+    mirrored_state_set,
+    r_unbalanced_state_set,
+    solo_state_set,
+    unbalanced_state_set,
+)
 
 __all__ = [
     "Agent",
@@ -15,6 +23,12 @@ __all__ = [
     "MctsAgent",
     "PolicyAgent",
     "RandomAgent",
+    "STATE_SET_BUILDERS",
     "TestManager",
+    "build_state_set",
+    "mirrored_state_set",
     "play_matches",
+    "r_unbalanced_state_set",
+    "solo_state_set",
+    "unbalanced_state_set",
 ]

@@ -66,6 +66,7 @@ class AlphaZero:
         search_params: SearchParams,
         run_dir: Optional[str] = None,
         test_hook: Optional[Callable] = None,
+        state_set: Optional[jax.Array] = None,
     ):
         self.env = env
         self.manager = manager
@@ -73,6 +74,10 @@ class AlphaZero:
         self.search_params = search_params
         self.run_dir = run_dir
         self.test_hook = test_hook  # called (state, step) -> dict of metrics
+        # Fixed probe positions whose value-head outputs are tracked per
+        # plot step (ref AlphaZero.state_set + update_state_set_data,
+        # AlphaZero.py:1175-1179; sets built in Run.py:427-579).
+        self.state_set = state_set
         self.journal = MetricsJournal(
             os.path.join(run_dir, "journal.jsonl") if run_dir else None
         )
@@ -105,6 +110,12 @@ class AlphaZero:
             donate_argnums=(1,),
         )
         self.tr_step = jax.jit(self.learner.train_step, donate_argnums=(0,))
+
+        def probe_values(params, obs):
+            _, v = net(params, obs)
+            return v
+
+        self._probe_values = jax.jit(probe_values)
         self.add_games = jax.jit(replay_lib.add_games, donate_argnums=(0,))
         self.trajectory_length = (
             train_config.running.max_trajectory_length or env.max_game_length
@@ -274,6 +285,17 @@ class AlphaZero:
                     record.update(self.test_hook(state, step) or {})
             else:
                 record.update(self._run_inloop_tests(state, step))
+
+            if (
+                self.state_set is not None
+                and step % cfg.plotting.plot_frequency == 0
+            ):
+                values = np.asarray(
+                    self._probe_values(state.params, self.state_set)
+                ).reshape(-1)
+                record.update(
+                    {f"value_probe/{i}": float(v) for i, v in enumerate(values)}
+                )
 
             self.journal.append(record)
 

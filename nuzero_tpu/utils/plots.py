@@ -79,6 +79,28 @@ def plot_training_run(
         written.append(path)
     plt.close(fig)
 
+    # Value-head probes on the fixed state set
+    # (ref update_state_set_data + plot, AlphaZero.py:1175-1179,1118-1137).
+    probe_keys = sorted(
+        {k for r in records for k in r if k.startswith("value_probe/")},
+        key=lambda k: int(k.rsplit("/", 1)[1]),
+    )
+    if probe_keys:
+        fig, ax = plt.subplots(figsize=(8, 5))
+        for key in probe_keys:
+            xs, ys = _series(records, key)
+            if xs:
+                ax.plot(xs, ys, label=f"state {key.rsplit('/', 1)[1]}")
+        ax.set_xlabel("training step")
+        ax.set_ylabel("value head output")
+        ax.set_ylim(-1.05, 1.05)
+        ax.set_title("value probes (fixed state set)")
+        ax.legend()
+        path = os.path.join(out_dir, "value_probes.png")
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+        written.append(path)
+
     # Throughput.
     fig, ax = plt.subplots(figsize=(8, 4))
     xs, ys = _series(records, "step_time_s")

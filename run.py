@@ -78,7 +78,7 @@ def _managers(env, arch: str, hex: bool = True):
     return NetworkManager(net, env.observation_shape)
 
 
-def _train(env, manager, train_cfg_file, search_cfg_file, name=None):
+def _train(env, manager, train_cfg_file, search_cfg_file, name=None, state_set=None):
     from nuzero_tpu.config import load_search_config, load_training_config
     from nuzero_tpu.training import AlphaZero
 
@@ -98,7 +98,7 @@ def _train(env, manager, train_cfg_file, search_cfg_file, name=None):
         os.path.join(REPO, "configs", "search", search_cfg_file),
         os.path.join(run_dir, "search_config_copy.yaml"),
     )
-    az = AlphaZero(env, manager, cfg, search, run_dir=run_dir)
+    az = AlphaZero(env, manager, cfg, search, run_dir=run_dir, state_set=state_set)
     if cfg.load_checkpoint:
         state, step = az.load(cfg.checkpoint.iteration_number)
         az.run(initial_state=state, starting_step=step)
@@ -121,9 +121,22 @@ def training_preset(idx: int, name):
             name or "ttt_recurrent",
         )
     elif idx == 2:
+        from nuzero_tpu.evaluation import mirrored_state_set
+
         env = _scs_env("open_field_5.yml")
-        _train(env, _managers(env, "recurrent"), "scs_small.yaml", "scs_search.yaml", name)
+        # Value-probe state set as in the working reference preset
+        # (ref Run.py:144: create_mirrored_state_set).
+        _train(
+            env,
+            _managers(env, "recurrent"),
+            "scs_small.yaml",
+            "scs_search.yaml",
+            name,
+            state_set=mirrored_state_set(env),
+        )
     elif idx == 3:
+        from nuzero_tpu.evaluation import solo_state_set
+
         env = _scs_env("solo_scout_5.yml")
         _train(
             env,
@@ -131,6 +144,7 @@ def training_preset(idx: int, name):
             "scs_small.yaml",
             "scs_search.yaml",
             name or "scs_solo_net",
+            state_set=solo_state_set(env),
         )
     else:
         raise SystemExit(f"unknown training preset {idx}")

@@ -93,3 +93,43 @@ def test_asynchronous_mode(tmp_path):
     az = AlphaZero(env, mgr, cfg, SearchParams(num_simulations=8), run_dir=None)
     state = az.run(seed=0)
     assert int(state.step) == 3
+
+
+def test_value_probe_state_set(tmp_path):
+    """State-set value probes land in the journal at plot frequency
+    (ref AlphaZero.py:1175-1179)."""
+    import jax.numpy as jnp
+
+    from nuzero_tpu.config.schemas import PlottingConfig
+
+    env = TicTacToe()
+    mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
+    cfg = TrainingConfig(
+        running=RunningConfig(
+            num_actors=8,
+            training_steps=4,
+            num_games_per_type_per_step=2,
+            early_fill_per_type=8,
+        ),
+        learning=LearningConfig(
+            replay_window_size=64, batch_size=16, num_samples=1
+        ),
+        plotting=PlottingConfig(plot_frequency=2),
+    )
+    probes = jnp.zeros((3,) + env.observation_shape, jnp.float32)
+    az = AlphaZero(
+        env,
+        mgr,
+        cfg,
+        SearchParams(num_simulations=8),
+        run_dir=str(tmp_path),
+        state_set=probes,
+    )
+    az.run(seed=0)
+    records = az.journal.load()
+    probed = [r for r in records if "value_probe/0" in r]
+    assert [r["step"] for r in probed] == [2, 4]
+    for r in probed:
+        for i in range(3):
+            v = r[f"value_probe/{i}"]
+            assert np.isfinite(v) and -1.0 <= v <= 1.0
