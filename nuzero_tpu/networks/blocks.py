@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from nuzero_tpu.ops.hexconv import hex_conv
+from nuzero_tpu.ops.hexconv import hex_conv, hex_conv_depthwise
 
 
 def _ramp(start: int, end: int, num_layers: int) -> Sequence[int]:
@@ -151,6 +151,269 @@ class DenseValueHead(nn.Module):
         x = nn.relu(x)
         x = nn.Dense(1, use_bias=False, dtype=self.dtype)(x)
         return nn.tanh(x)[:, 0]  # [batch]
+
+
+class HexDepthwiseConv(nn.Module):
+    """Per-channel hexagonal conv (ref ``depthwise_conv.py:10-38``: a loop
+    of C ``hexagdly.Conv2d(1,1)`` layers; here one grouped XLA conv)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        channels = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (7, channels),
+            self.dtype,
+        )
+        return hex_conv_depthwise(x.astype(self.dtype), w, data_format="NHWC")
+
+
+class DepthwiseConv(nn.Module):
+    """Hex-or-ortho depthwise conv selector.
+
+    Ortho mode is a grouped 3x3 conv.  Deviation from the reference: its
+    ortho depthwise layers use VALID padding (torch's default), which
+    shrinks the board 2 px per layer and crashes on the 5x5 scenarios; we
+    use SAME padding uniformly, matching the hex path's zero-padding.
+    """
+
+    hex: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.hex:
+            return HexDepthwiseConv(dtype=self.dtype)(x)
+        channels = x.shape[-1]
+        return nn.Conv(
+            channels,
+            (3, 3),
+            padding="SAME",
+            feature_group_count=channels,
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+
+
+def _act(name: str):
+    return {"tanh": nn.tanh, "relu": nn.relu}[name]
+
+
+def _global_tanh(x: jax.Array) -> jax.Array:
+    """``AdaptiveAvgPool3d(1) -> Flatten -> Tanh`` tail shared by every
+    discontinued head (ref ``blocks.py:213-216`` et al.): global mean over
+    channels *and* space, then tanh.  All heads reach this point at 1
+    channel, so it is a spatial mean."""
+    return nn.tanh(jnp.mean(x, axis=(1, 2, 3)))
+
+
+class DepthValueHead(nn.Module):
+    """4x [depthwise -> (BN) -> act], full conv to 1 channel, global tanh
+    (ref ``Depth_ValueHead``, blocks.py:180-221).  Discontinued in the
+    reference but kept selectable; same here."""
+
+    width: int
+    activation: str = "relu"
+    batch_norm: bool = False
+    hex: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for _ in range(4):
+            x = DepthwiseConv(hex=self.hex, dtype=self.dtype)(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = _act(self.activation)(x)
+        x = Conv(1, hex=self.hex, dtype=self.dtype)(x)
+        return _global_tanh(x)
+
+
+#: filter ramp shared by the remaining discontinued heads
+#: (ref blocks.py:231,288,332,373,419)
+_DISCONTINUED_RAMP = (256, 64, 8, 1)
+
+
+class CombinedValueHead(nn.Module):
+    """Per ramp step: depthwise -> (BN) -> act -> full conv down;
+    (ref ``Combined_ValueHead``, blocks.py:226-280)."""
+
+    width: int
+    activation: str = "relu"
+    batch_norm: bool = False
+    hex: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for features in _DISCONTINUED_RAMP:
+            x = DepthwiseConv(hex=self.hex, dtype=self.dtype)(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = _act(self.activation)(x)
+            x = Conv(features, hex=self.hex, dtype=self.dtype)(x)
+            if features != 1:
+                if self.batch_norm:
+                    x = nn.BatchNorm(
+                        use_running_average=not train, dtype=self.dtype
+                    )(x)
+                x = _act(self.activation)(x)
+        return _global_tanh(x)
+
+
+class SeparableValueHead(nn.Module):
+    """Depthwise-separable ramp: depthwise -> 1x1 pointwise per step
+    (ref ``Separable_ValueHead``, blocks.py:284-324)."""
+
+    width: int
+    activation: str = "relu"
+    batch_norm: bool = False
+    hex: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for features in _DISCONTINUED_RAMP:
+            x = DepthwiseConv(hex=self.hex, dtype=self.dtype)(x)
+            x = nn.Conv(features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+            if features != 1:
+                if self.batch_norm:
+                    x = nn.BatchNorm(
+                        use_running_average=not train, dtype=self.dtype
+                    )(x)
+                x = _act(self.activation)(x)
+        return _global_tanh(x)
+
+
+class ReverseValueHead(nn.Module):
+    """Reversed separable: 1x1 pointwise down, then depthwise
+    (ref ``Reverse_ValueHead``, blocks.py:328-367)."""
+
+    width: int
+    activation: str = "relu"
+    batch_norm: bool = False
+    hex: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for features in _DISCONTINUED_RAMP:
+            x = nn.Conv(features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+            x = DepthwiseConv(hex=self.hex, dtype=self.dtype)(x)
+            if features != 1:
+                if self.batch_norm:
+                    x = nn.BatchNorm(
+                        use_running_average=not train, dtype=self.dtype
+                    )(x)
+                x = _act(self.activation)(x)
+        return _global_tanh(x)
+
+
+class RawSeparableValueHead(nn.Module):
+    """Separable ramp with an ORTHO 3x3 depthwise regardless of hex mode —
+    the reference ignores its hex flag here (ref ``RawSeparable_ValueHead``,
+    blocks.py:371-407)."""
+
+    width: int
+    activation: str = "relu"
+    batch_norm: bool = False
+    hex: bool = True  # accepted for signature parity; unused by design
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for features in _DISCONTINUED_RAMP:
+            x = DepthwiseConv(hex=False, dtype=self.dtype)(x)
+            x = nn.Conv(features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+            if features != 1:
+                if self.batch_norm:
+                    x = nn.BatchNorm(
+                        use_running_average=not train, dtype=self.dtype
+                    )(x)
+                x = _act(self.activation)(x)
+        return _global_tanh(x)
+
+
+class StrangeValueHead(nn.Module):
+    """Per-channel 1x1 scaling then a full conv down per ramp step
+    (ref ``Strange_ValueHead``, blocks.py:411-448: a groups=C kernel-1
+    conv — one scalar per channel — followed by a normal conv)."""
+
+    width: int
+    activation: str = "relu"
+    batch_norm: bool = False
+    hex: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for features in _DISCONTINUED_RAMP:
+            channels = x.shape[-1]
+            x = nn.Conv(
+                channels,
+                (1, 1),
+                feature_group_count=channels,
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
+            x = Conv(features, hex=self.hex, dtype=self.dtype)(x)
+            if features != 1:
+                if self.batch_norm:
+                    x = nn.BatchNorm(
+                        use_running_average=not train, dtype=self.dtype
+                    )(x)
+                x = _act(self.activation)(x)
+        return _global_tanh(x)
+
+
+#: value-head registry; keys are the reference's selector strings
+#: (ref RecurrentNet.py:58-76)
+VALUE_HEADS = {
+    "reduce": ReduceValueHead,
+    "dense": DenseValueHead,
+    "depth": DepthValueHead,
+    "combined": CombinedValueHead,
+    "separable": SeparableValueHead,
+    "reverse": ReverseValueHead,
+    "rawsep": RawSeparableValueHead,
+    "strange": StrangeValueHead,
+}
+
+
+def make_value_head(
+    name: str,
+    width: int,
+    *,
+    activation: str = "tanh",
+    batch_norm: bool = False,
+    hex: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+) -> nn.Module:
+    """Instantiate a value head by selector string
+    (ref RecurrentNet.py:58-76, ResNet.py:51-58)."""
+    try:
+        cls = VALUE_HEADS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown value head {name!r}; options: {sorted(VALUE_HEADS)}"
+        ) from None
+    if cls is ReduceValueHead:
+        return cls(
+            width, activation=activation, batch_norm=batch_norm,
+            hex=hex, dtype=dtype,
+        )
+    if cls is DenseValueHead:
+        return cls(width, batch_norm=batch_norm, hex=hex, dtype=dtype)
+    # The nets pass value_activation straight through to every head
+    # (ref RecurrentNet.py:60-72), so the discontinued heads see "tanh"
+    # by default despite their own relu signature default.
+    return cls(
+        width, activation=activation, batch_norm=batch_norm,
+        hex=hex, dtype=dtype,
+    )
 
 
 class ReducePolicyHead(nn.Module):

@@ -31,9 +31,8 @@ from flax import linen as nn
 from nuzero_tpu.networks.blocks import (
     BasicBlock,
     Conv,
-    DenseValueHead,
     ReducePolicyHead,
-    ReduceValueHead,
+    make_value_head,
 )
 
 
@@ -117,18 +116,14 @@ class RecurrentNet(nn.Module):
             self.num_filters, self.policy_channels, hex=self.hex, dtype=self.dtype
         )(thought, train)
 
-        if self.value_head == "reduce":
-            v = ReduceValueHead(
-                self.num_filters,
-                activation=self.value_activation,
-                hex=self.hex,
-                dtype=self.dtype,
-            )(thought, train)
-        elif self.value_head == "dense":
-            v = DenseValueHead(self.num_filters, hex=self.hex, dtype=self.dtype)(
-                thought, train
-            )
-        else:
-            raise ValueError(f"value head {self.value_head!r} unavailable")
+        # Full selector set incl. the reference's discontinued heads
+        # (ref RecurrentNet.py:58-76).
+        v = make_value_head(
+            self.value_head,
+            self.num_filters,
+            activation=self.value_activation,
+            hex=self.hex,
+            dtype=self.dtype,
+        )(thought, train)
 
         return (p, v), thought

@@ -9,9 +9,8 @@ from flax import linen as nn
 from nuzero_tpu.networks.blocks import (
     BasicBlock,
     Conv,
-    DenseValueHead,
     ReducePolicyHead,
-    ReduceValueHead,
+    make_value_head,
 )
 
 
@@ -53,21 +52,14 @@ class ResNet(nn.Module):
             dtype=self.dtype,
         )(x, train)
 
-        if self.value_head == "reduce":
-            v = ReduceValueHead(
-                self.num_filters,
-                activation=self.value_activation,
-                batch_norm=self.batch_norm,
-                hex=self.hex,
-                dtype=self.dtype,
-            )(x, train)
-        elif self.value_head == "dense":
-            v = DenseValueHead(
-                self.num_filters,
-                batch_norm=self.batch_norm,
-                hex=self.hex,
-                dtype=self.dtype,
-            )(x, train)
-        else:
-            raise ValueError(f"ResNet value head {self.value_head!r} unavailable")
+        # The reference's ResNet only matches reduce/dense
+        # (ref ResNet.py:51-58) but the full registry is harmless here.
+        v = make_value_head(
+            self.value_head,
+            self.num_filters,
+            activation=self.value_activation,
+            batch_norm=self.batch_norm,
+            hex=self.hex,
+            dtype=self.dtype,
+        )(x, train)
         return p, v

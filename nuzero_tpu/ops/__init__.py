@@ -1,3 +1,7 @@
-from nuzero_tpu.ops.hexconv import hex_conv, hex_neighbor_offsets
+from nuzero_tpu.ops.hexconv import (
+    hex_conv,
+    hex_conv_depthwise,
+    hex_neighbor_offsets,
+)
 
-__all__ = ["hex_conv", "hex_neighbor_offsets"]
+__all__ = ["hex_conv", "hex_conv_depthwise", "hex_neighbor_offsets"]

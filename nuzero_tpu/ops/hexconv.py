@@ -133,6 +133,90 @@ def hex_conv(
     return jnp.where(col_is_odd.reshape(shape), y_odd, y_even).astype(x.dtype)
 
 
+def hex_conv_depthwise(
+    x: jax.Array,
+    weights: jax.Array,
+    *,
+    data_format: str = "NHWC",
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Per-channel (depthwise) hexagonal convolution.
+
+    The reference hand-rolls this as a Python loop of C independent
+    ``hexagdly.Conv2d(1, 1)`` layers concatenated back together
+    (ref ``Neural_Networks/Architectures/depthwise_conv.py:10-38``).  Here
+    it is one grouped XLA convolution per column parity
+    (``feature_group_count = C``), same dual-kernel parity trick as
+    :func:`hex_conv`.
+
+    Args:
+      x: activations, NHWC or NCHW.
+      weights: f32[7, channels] — one weight per (tap, channel).
+
+    Returns:
+      Same shape/layout as ``x``.
+    """
+    if data_format == "NCHW":
+        col_axis = 3
+        channels = x.shape[1]
+    elif data_format == "NHWC":
+        col_axis = 2
+        channels = x.shape[-1]
+    else:
+        raise ValueError(f"bad data_format {data_format!r}")
+    if weights.shape != (7, channels):
+        raise ValueError(f"weights {weights.shape} != (7, {channels})")
+
+    kernels = []
+    for parity in (0, 1):
+        rows, cols = _placement(parity)
+        # HWIO with I = in/groups = 1, O = channels.
+        k = jnp.zeros((3, 3, 1, channels), weights.dtype)
+        k = k.at[rows, cols, 0].set(weights)
+        if data_format == "NCHW":
+            k = jnp.transpose(k, (3, 2, 0, 1))
+        kernels.append(k)
+    k_even, k_odd = kernels
+
+    dense_layout = "OIHW" if data_format == "NCHW" else "HWIO"
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, k_even.shape, (data_format, dense_layout, data_format)
+    )
+    conv = functools.partial(
+        jax.lax.conv_general_dilated,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=dn,
+        feature_group_count=channels,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    y_even = conv(x, k_even)
+    y_odd = conv(x, k_odd)
+    col_is_odd = (jnp.arange(x.shape[col_axis]) % 2).astype(bool)
+    shape = [1, 1, 1, 1]
+    shape[col_axis] = -1
+    return jnp.where(col_is_odd.reshape(shape), y_odd, y_even).astype(x.dtype)
+
+
+def hex_conv_depthwise_reference(
+    x: np.ndarray, weights: np.ndarray
+) -> np.ndarray:
+    """NumPy oracle for the depthwise hex conv (NCHW).  Test-only."""
+    batch, cin, rows, cols = x.shape
+    out = np.zeros_like(x, dtype=np.float32)
+    for c in range(cols):
+        offs = hex_neighbor_offsets(c % 2)
+        for r in range(rows):
+            acc = np.zeros((batch, cin), dtype=np.float32)
+            for t, (dr, dc) in enumerate(offs):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < rows and 0 <= cc < cols:
+                    acc += x[:, :, rr, cc] * weights[t][None, :]
+            out[:, :, r, c] = acc
+    return out
+
+
 def hex_conv_reference(x: np.ndarray, weights: np.ndarray) -> np.ndarray:
     """Pure-NumPy oracle: explicit neighbor gathering.  Test-only."""
     batch, cin, rows, cols = x.shape

@@ -83,3 +83,48 @@ def test_gradients_flow():
     assert g.shape == w.shape
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+@pytest.mark.parametrize("rows,cols", [(5, 5), (4, 7)])
+def test_depthwise_matches_oracle(rows, cols):
+    from nuzero_tpu.ops.hexconv import (
+        hex_conv_depthwise,
+        hex_conv_depthwise_reference,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 6, rows, cols)).astype(np.float32)
+    w = rng.standard_normal((7, 6)).astype(np.float32)
+    got = np.asarray(
+        hex_conv_depthwise(jnp.asarray(x), jnp.asarray(w), data_format="NCHW")
+    )
+    want = hex_conv_depthwise_reference(x, w)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # NHWC path agrees with NCHW.
+    got_nhwc = np.asarray(
+        hex_conv_depthwise(
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+            jnp.asarray(w),
+            data_format="NHWC",
+        )
+    )
+    np.testing.assert_allclose(
+        np.transpose(got_nhwc, (0, 3, 1, 2)), want, atol=1e-4
+    )
+
+
+def test_depthwise_is_per_channel():
+    """Depthwise semantics: output channel i depends only on input channel
+    i (the reference's loop of per-channel Conv2d(1,1) layers)."""
+    from nuzero_tpu.ops.hexconv import hex_conv_depthwise
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((1, 4, 5, 5)).astype(np.float32)
+    w = rng.standard_normal((7, 4)).astype(np.float32)
+    base = np.asarray(hex_conv_depthwise(jnp.asarray(x), jnp.asarray(w), data_format="NCHW"))
+    x2 = x.copy()
+    x2[:, 2] += 1.0  # perturb channel 2 only
+    out2 = np.asarray(hex_conv_depthwise(jnp.asarray(x2), jnp.asarray(w), data_format="NCHW"))
+    diff = np.abs(out2 - base).sum(axis=(0, 2, 3))
+    assert diff[2] > 0
+    assert diff[0] == diff[1] == diff[3] == 0

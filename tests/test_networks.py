@@ -139,3 +139,31 @@ def test_manager_rejects_module_without_recurrent_attr():
 
     with pytest.raises(TypeError):
         NetworkManager(Bad(), OBS)
+
+
+@pytest.mark.parametrize(
+    "value_head",
+    ["depth", "combined", "separable", "reverse", "rawsep", "strange"],
+)
+def test_discontinued_value_heads(value_head):
+    """Every selector from the reference's zoo builds and runs
+    (ref RecurrentNet.py:58-76, blocks.py:180-448)."""
+    net = RecurrentNet(
+        policy_channels=POLICY_CHANNELS,
+        num_filters=16,
+        num_blocks=1,
+        value_head=value_head,
+    )
+    mgr = NetworkManager(net, OBS)
+    variables = mgr.init(jax.random.key(0))
+    p, v, interim = mgr.apply(variables, _obs(), iters_to_do=2)
+    assert p.shape == (2, NUM_ACTIONS) and v.shape == (2,)
+    assert np.isfinite(np.asarray(p)).all() and np.isfinite(np.asarray(v)).all()
+    assert (np.abs(np.asarray(v)) <= 1.0).all()
+
+
+def test_unknown_value_head_raises():
+    from nuzero_tpu.networks import make_value_head
+
+    with pytest.raises(ValueError, match="unknown value head"):
+        make_value_head("bogus", 16)
