@@ -86,7 +86,12 @@ def board_sides(cols: int) -> Tuple[int, int]:
 
 
 def load_scenario(path: str, seed=None) -> Scenario:
-    data = load_yaml(path)
+    return scenario_from_dict(load_yaml(path), seed)
+
+
+def scenario_from_dict(data, seed=None) -> Scenario:
+    """Build a Scenario from an in-memory config mapping (same schema as the
+    YAML files; used by :mod:`scenario_gen` to skip the disk round-trip)."""
     if seed:
         np.random.seed(seed)
 
