@@ -258,6 +258,12 @@ def main():
     group.add_argument("--testing-preset", type=int)
     group.add_argument("--debug", type=int)
     group.add_argument("--interactive", action="store_true")
+    group.add_argument(
+        "--play",
+        choices=["random", "mcts"],
+        help="play Tic-Tac-Toe in the terminal against an agent "
+        "(ref Tester.ttt_vs_agent)",
+    )
     parser.add_argument("--name", type=str, default=None,
                         help="run/network name override")
     args = parser.parse_args()
@@ -268,6 +274,23 @@ def main():
         testing_preset(args.testing_preset, args.name)
     elif args.debug is not None:
         debug_preset(args.debug)
+    elif args.play is not None:
+        from nuzero_tpu.evaluation import MctsAgent, RandomAgent, play_vs_agent
+
+        env = _ttt_env()
+        if args.play == "mcts":
+            import jax
+
+            from nuzero_tpu.search import SearchParams
+
+            manager = _managers(env, "mlp", hex=False)
+            variables = manager.init(jax.random.key(0))
+            agent = MctsAgent(
+                manager, variables, SearchParams(num_simulations=100)
+            )
+        else:
+            agent = RandomAgent()
+        play_vs_agent(env, agent, human_player=0)
     elif args.interactive:
         from nuzero_tpu.interactive import start
 
