@@ -117,17 +117,26 @@ def _puct_scores(tree: Tree, node: jax.Array, params: SearchParams):
     return jnp.where(tree.legal[node], score, NEG_INF)
 
 
-def _descend(tree: Tree, params: SearchParams):
+def _descend(tree: Tree, params: SearchParams, depth_cap: int):
     """Walk from the root to a frontier (pure gathers over the packed
     tree — no env work).  Single-game.  Returns
-    (stop_node, sel_action, needs_alloc)."""
+    (stop_node, sel_action, needs_alloc, path).
+
+    ``path`` is an i32[depth_cap] buffer of the visited node indices
+    (unused slots hold ``num_nodes``, an out-of-bounds sentinel) so that
+    backprop becomes one scatter-add instead of a second walk — the
+    leaf->root pointer chase of the reference (``Explorer.py:132-135``)
+    costs a sequential loop iteration per edge on TPU, while a recorded
+    path costs one ``.at[].add`` with dropped out-of-bounds rows."""
+    num_nodes = tree.visit.shape[0]
 
     def cond(carry):
-        node, _, stop = carry
+        _, _, stop, _, _ = carry
         return ~stop
 
     def body(carry):
-        node, _, _ = carry
+        node, _, _, path, depth = carry
+        path = path.at[depth].set(node)
         can_continue = tree.expanded[node] & ~tree.is_terminal[node]
         scores = _puct_scores(tree, node, params)
         action = jnp.argmax(scores).astype(jnp.int32)
@@ -137,36 +146,39 @@ def _descend(tree: Tree, params: SearchParams):
         #        (c) chosen child exists -> continue from child.
         follow = can_continue & (child != -1)
         nxt = jnp.where(follow, child, node)
-        return nxt, jnp.where(can_continue, action, 0), ~follow
+        return nxt, jnp.where(can_continue, action, 0), ~follow, path, depth + 1
 
-    node, action, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    path0 = jnp.full((depth_cap,), num_nodes, jnp.int32)
+    node, action, _, path, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(False), path0, jnp.int32(0))
     )
     needs_alloc = (
         tree.expanded[node]
         & ~tree.is_terminal[node]
         & (tree.child[node, action] == -1)
     )
-    return node, action, needs_alloc
+    return node, action, needs_alloc, path
 
 
-def _backprop(tree: Tree, leaf: jax.Array, value: jax.Array) -> Tree:
-    """Add ``value`` and a visit along leaf->root (ref Explorer.py:132-135).
-    Single-game."""
+def _backprop_path(
+    tree: Tree, path: jax.Array, leaf: jax.Array, value: jax.Array, fresh: jax.Array
+) -> Tree:
+    """Add ``value`` and a visit to every node on the recorded root->stop
+    path plus a freshly-allocated leaf (ref Explorer.py:132-135, absolute
+    value, no sign alternation).  Single-game, one scatter.
 
-    def cond(carry):
-        node, _, _ = carry
-        return node != -1
-
-    def body(carry):
-        node, visit, vsum = carry
-        visit = visit.at[node].add(1)
-        vsum = vsum.at[node].add(value)
-        return tree.parent[node], visit, vsum
-
-    _, visit, vsum = jax.lax.while_loop(
-        cond, body, (leaf, tree.visit, tree.value_sum)
-    )
+    When no node was allocated the stop node is already the last path
+    entry, so the leaf slot is pointed out of bounds to avoid double
+    counting."""
+    num_nodes = tree.visit.shape[0]
+    extra = jnp.where(fresh, leaf, jnp.int32(num_nodes))
+    nodes = jnp.concatenate([path, extra[None]])
+    # Dense one-hot accumulation: out-of-range sentinel rows vanish, and the
+    # [P+1, N] reduction is a lane-parallel VPU op — measured faster than a
+    # scatter-add on TPU for these path lengths.
+    counts = jax.nn.one_hot(nodes, num_nodes, dtype=jnp.float32).sum(axis=0)
+    visit = tree.visit + counts.astype(jnp.int32)
+    vsum = tree.value_sum + value * counts
     return tree.replace(visit=visit, value_sum=vsum)
 
 
@@ -186,6 +198,7 @@ def make_search_fn(
     """
     A = env.num_actions
     num_nodes = params.num_simulations + 1
+    depth_cap = min(params.num_simulations, env.max_game_length) + 1
 
     from nuzero_tpu.utils.packing import make_packer
 
@@ -239,8 +252,8 @@ def make_search_fn(
 
         # --- Remaining num_simulations - 1 descents.
         def sim_body(_, tree):
-            stop_node, action, needs_alloc = jax.vmap(
-                lambda t: _descend(t, params)
+            stop_node, action, needs_alloc, path = jax.vmap(
+                lambda t: _descend(t, params, depth_cap)
             )(tree)
 
             # Allocate (masked): step the stop node's stored state once.
@@ -320,7 +333,7 @@ def make_search_fn(
                 jax.vmap(lambda t, i: t.terminal_value[i])(tree, leaf),
                 value,
             )
-            tree = jax.vmap(_backprop)(tree, leaf, value)
+            tree = jax.vmap(_backprop_path)(tree, path, leaf, value, needs_alloc)
             return tree
 
         tree = jax.lax.fori_loop(0, params.num_simulations - 1, sim_body, tree)
