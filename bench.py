@@ -40,11 +40,12 @@ def main():
         p, val, _ = mgr.apply(v, obs)
         return p, val
 
+    params = SearchParams(num_simulations=sims)
     step = jax.jit(
-        make_selfplay_step(env, net, SearchParams(num_simulations=sims)),
+        make_selfplay_step(env, net, params),
         donate_argnums=(1,),
     )
-    sp = init_selfplay(env, batch, jax.random.key(1))
+    sp = init_selfplay(env, batch, jax.random.key(1), search_params=params)
 
     # Warmup/compile.
     sp, _, stats = step(variables, sp)

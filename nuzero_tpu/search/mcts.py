@@ -70,6 +70,12 @@ class SearchParams:
     root_exploration_fraction: float = 0.2
     root_dist_alpha: float = 0.15
     root_dist_beta: float = 1.0
+    # Node budget for trees carried across moves (keep_subtree).  0 = auto:
+    # 2*num_simulations + 2, enough for a retained subtree plus one search's
+    # new allocations.  Unlike the reference's unbounded Python trees, the
+    # array tree is a fixed budget: when full, simulations stop expanding
+    # and re-contribute leaf evaluations (documented deviation).
+    tree_capacity: int = 0
 
 
 @struct.dataclass
@@ -187,18 +193,31 @@ def make_search_fn(
     apply_fn: Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]],
     params: SearchParams,
     training: bool,
+    with_tree: bool = False,
 ):
-    """Build ``search(variables, states, game_lengths, rng) -> SearchResults``.
+    """Build the batched search function.
 
     ``apply_fn(variables, obs[B,C,H,W]) -> (logits[B,A], value[B])`` is the
     batched network (recurrent iteration count already bound).
     ``states`` is a batch-B env-state pytree for the games' current
-    positions.  One fresh tree per move; subtree reuse across moves is a
-    planned optimization (re-rooting with index compaction).
+    positions.
+
+    - ``with_tree=False``:
+      ``search(variables, states, game_lengths, rng) -> SearchResults``;
+      one fresh tree per move.
+    - ``with_tree=True`` (subtree reuse, ref ``keep_subtree``):
+      ``search(variables, states, game_lengths, rng, tree, carried)
+      -> (SearchResults, Tree)``.  ``tree`` is the batch of trees already
+      re-rooted at the current positions (``tree.reroot``); ``carried`` is
+      bool[B] — games where it's False start from a fresh root.  The
+      returned tree feeds the next move's ``reroot``.
     """
     A = env.num_actions
-    num_nodes = params.num_simulations + 1
-    depth_cap = min(params.num_simulations, env.max_game_length) + 1
+    if with_tree:
+        num_nodes = params.tree_capacity or (2 * params.num_simulations + 2)
+    else:
+        num_nodes = params.num_simulations + 1
+    depth_cap = min(num_nodes - 1, env.max_game_length) + 1
 
     from nuzero_tpu.utils.packing import make_packer
 
@@ -215,13 +234,13 @@ def make_search_fn(
         value = jnp.where(is_term, term_val, value)
         return priors, legal, value, is_term, term_val
 
-    def search(variables, states, game_lengths, rng):
+    def search(variables, states, game_lengths, rng, tree=None, carried=None):
         B = jax.tree.leaves(states)[0].shape[0]
-        tree = jax.vmap(lambda _: init_tree(A, num_nodes, state_dim))(
+        fresh_tree = jax.vmap(lambda _: init_tree(A, num_nodes, state_dim))(
             jnp.arange(B)
         )
-        tree = tree.replace(
-            states=tree.states.at[:, 0].set(jax.vmap(pack)(states))
+        fresh_tree = fresh_tree.replace(
+            states=fresh_tree.states.at[:, 0].set(jax.vmap(pack)(states))
         )
 
         # --- Root evaluation == the reference's first simulation on a
@@ -239,22 +258,54 @@ def make_search_fn(
             # (Explorer.py:207-210 iterates node.children).
             priors0 = jnp.where(legal0, noisy, 0.0)
         to_play0 = jax.vmap(env.current_player)(states)
-        tree = tree.replace(
-            prior=tree.prior.at[:, 0].set(priors0),
-            legal=tree.legal.at[:, 0].set(legal0),
-            expanded=tree.expanded.at[:, 0].set(~term0),
-            to_play=tree.to_play.at[:, 0].set(to_play0),
-            is_terminal=tree.is_terminal.at[:, 0].set(term0),
-            terminal_value=tree.terminal_value.at[:, 0].set(tval0),
-            visit=tree.visit.at[:, 0].set(1),
-            value_sum=tree.value_sum.at[:, 0].set(value0),
+        fresh_tree = fresh_tree.replace(
+            prior=fresh_tree.prior.at[:, 0].set(priors0),
+            legal=fresh_tree.legal.at[:, 0].set(legal0),
+            expanded=fresh_tree.expanded.at[:, 0].set(~term0),
+            to_play=fresh_tree.to_play.at[:, 0].set(to_play0),
+            is_terminal=fresh_tree.is_terminal.at[:, 0].set(term0),
+            terminal_value=fresh_tree.terminal_value.at[:, 0].set(tval0),
+            visit=fresh_tree.visit.at[:, 0].set(1),
+            value_sum=fresh_tree.value_sum.at[:, 0].set(value0),
         )
+
+        if with_tree and tree is not None:
+            # Keep the carried subtree where valid, else the fresh root.
+            def sel(c_arr, f_arr):
+                cond = carried.reshape((B,) + (1,) * (c_arr.ndim - 1))
+                return jnp.where(cond, c_arr, f_arr)
+
+            tree = jax.tree.map(sel, tree, fresh_tree)
+            if training:
+                # The reference adds fresh root noise at every run_mcts even
+                # on a reused root (Explorer.py:46,201-210) — noise
+                # compounds on the stored priors across moves.
+                rng, sub = jax.random.split(rng)
+                noise = (
+                    jax.random.gamma(sub, params.root_dist_alpha, (B, A))
+                    * params.root_dist_beta
+                )
+                frac = params.root_exploration_fraction
+                root_prior = tree.prior[:, 0]
+                root_legal = tree.legal[:, 0]
+                noisy = jnp.where(
+                    root_legal,
+                    root_prior * (1.0 - frac) + noise * frac,
+                    0.0,
+                )
+                root_prior = jnp.where(carried[:, None], noisy, root_prior)
+                tree = tree.replace(prior=tree.prior.at[:, 0].set(root_prior))
+        else:
+            tree = fresh_tree
 
         # --- Remaining num_simulations - 1 descents.
         def sim_body(_, tree):
             stop_node, action, needs_alloc, path = jax.vmap(
                 lambda t: _descend(t, params, depth_cap)
             )(tree)
+            # Full trees (possible only with carried subtrees) stop
+            # expanding and just re-contribute the stop node's evaluation.
+            needs_alloc = needs_alloc & (tree.next_free < num_nodes)
 
             # Allocate (masked): step the stop node's stored state once.
             stop_state = jax.vmap(lambda t, i: unpack(t.states[i]))(
@@ -387,7 +438,7 @@ def make_search_fn(
         root_value = tree.value_sum[:, 0] / jnp.maximum(
             root_visits.astype(jnp.float32), 1.0
         )
-        return SearchResults(
+        results = SearchResults(
             action=action,
             policy_target=policy_target,
             root_value=root_value,
@@ -397,5 +448,8 @@ def make_search_fn(
                 root_visits.astype(jnp.float32), params
             ),
         )
+        if with_tree:
+            return results, tree
+        return results
 
     return search

@@ -24,6 +24,8 @@ MXU-sized network call.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -68,3 +70,78 @@ def init_tree(num_actions: int, num_nodes: int, state_dim: int) -> Tree:
         states=jnp.zeros((num_nodes, state_dim), jnp.float32),
         next_free=jnp.int32(1),
     )
+
+def reroot(tree: Tree, action: jax.Array) -> tuple[Tree, jax.Array]:
+    """Re-root a single-game tree at the child reached by ``action``.
+
+    Implements the reference's ``keep_subtree`` option — after a move is
+    played, the chosen child's subtree is retained so its statistics seed
+    the next move's search (ref ``Training/Gamer.py:78-79`` root swap,
+    ``Search/Explorer.py`` subtree reuse;
+    ``Configs/Search/Examples/documentation_search_config.yaml``).
+
+    The reference swaps a Python pointer.  Here the subtree must be
+    *compacted* back into the fixed-budget array tree:
+
+    1. mark every node whose ancestor chain contains the new root — by
+       pointer-doubling over parent links (O(log N) gather rounds, no
+       sequential walk),
+    2. compute a permutation placing the new root at slot 0 and the other
+       marked nodes after it (one argsort),
+    3. gather every per-node/per-edge array through the permutation,
+       remapping ``parent``/``child`` indices and zeroing dead slots so
+       later allocations start from a clean node.
+
+    Returns ``(new_tree, ok)``; ``ok`` is False when the chosen action has
+    no materialized child (possible under epsilon-random/softmax action
+    selection), in which case the caller should start the next search from
+    a fresh tree.
+    """
+    N = tree.visit.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    c = tree.child[0, action]
+    ok = c != UNVISITED
+    c_safe = jnp.where(ok, c, 0)
+
+    # --- 1. subtree membership by pointer doubling.
+    mark = idx == c_safe
+    ptr = jnp.where(tree.parent >= 0, tree.parent, idx)
+    for _ in range(max(1, math.ceil(math.log2(max(N, 2))))):
+        mark = mark | mark[ptr]
+        ptr = ptr[ptr]
+
+    # --- 2. compaction permutation: new root first, marked nodes next
+    # (stable in old-index order), dead nodes last.
+    n_live = mark.sum().astype(jnp.int32)
+    key = jnp.where(mark, idx, N + idx)
+    key = jnp.where(idx == c_safe, -1, key)
+    dest = jnp.argsort(key).astype(jnp.int32)  # old index at each new slot
+    inv = jnp.zeros(N, jnp.int32).at[dest].set(idx)  # old -> new
+    live = idx < n_live
+
+    # --- 3. gather + remap + clear dead slots.
+    parent_old = tree.parent[dest]
+    parent = jnp.where(
+        live & (idx != 0), inv[jnp.maximum(parent_old, 0)], UNVISITED
+    )
+    child_old = tree.child[dest]
+    child = jnp.where(
+        live[:, None] & (child_old >= 0),
+        inv[jnp.maximum(child_old, 0)],
+        UNVISITED,
+    )
+    new_tree = Tree(
+        visit=jnp.where(live, tree.visit[dest], 0),
+        value_sum=jnp.where(live, tree.value_sum[dest], 0.0),
+        parent=parent,
+        to_play=jnp.where(live, tree.to_play[dest], 0),
+        is_terminal=jnp.where(live, tree.is_terminal[dest], False),
+        terminal_value=jnp.where(live, tree.terminal_value[dest], 0.0),
+        expanded=jnp.where(live, tree.expanded[dest], False),
+        prior=jnp.where(live[:, None], tree.prior[dest], 0.0),
+        legal=jnp.where(live[:, None], tree.legal[dest], False),
+        child=child,
+        states=jnp.where(live[:, None], tree.states[dest], 0.0),
+        next_free=jnp.where(ok, n_live, jnp.int32(1)),
+    )
+    return new_tree, ok

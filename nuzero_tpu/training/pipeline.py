@@ -234,7 +234,11 @@ class AlphaZero:
         rng, k_init, k_sp = jax.random.split(rng, 3)
         state = initial_state or self.learner.init_state(k_init)
         sp = init_selfplay(
-            self.env, cfg.running.num_actors, k_sp, self.trajectory_length
+            self.env,
+            cfg.running.num_actors,
+            k_sp,
+            self.trajectory_length,
+            search_params=self.search_params,
         )
 
         if cfg.running.early_fill_per_type > 0 and starting_step == 0:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from nuzero_tpu.search.mcts import SearchParams, make_search_fn
+from nuzero_tpu.search.tree import init_tree, reroot
 from nuzero_tpu.training.replay import FinishedGames
 
 
@@ -36,21 +37,47 @@ class SelfplayState:
     rng: jax.Array
     total_moves: jax.Array  # i32 stats: lockstep move-steps taken
     total_games: jax.Array  # i32 stats: games completed since init
+    # Subtree reuse (ref keep_subtree): search trees carried across moves,
+    # re-rooted at the played action.  None when reuse is disabled.
+    tree: Any = None
+    tree_valid: Any = None  # bool[B]
 
 
 def init_selfplay(
-    env, batch_size: int, rng: jax.Array, trajectory_capacity: int = 0
+    env,
+    batch_size: int,
+    rng: jax.Array,
+    trajectory_capacity: int = 0,
+    search_params: SearchParams | None = None,
 ) -> SelfplayState:
     """``trajectory_capacity`` bounds stored moves per game (0 = the env's
     hard ``max_game_length``); games that overrun are discarded and reset
     (the bound formula is deliberately loose — a tight capacity saves the
-    dominant trajectory-buffer memory)."""
+    dominant trajectory-buffer memory).
+
+    Pass ``search_params`` with ``keep_subtree=True`` to allocate the
+    carried search trees enabling subtree reuse across moves (ref
+    ``Training/Gamer.py:78-79``); without it each move searches a fresh
+    tree."""
     rng, sub = jax.random.split(rng)
     games = jax.vmap(env.init)(jax.random.split(sub, batch_size))
     L = trajectory_capacity or env.max_game_length
     obs_flat = 1
     for d in env.observation_shape:
         obs_flat *= d
+    tree = None
+    tree_valid = None
+    if search_params is not None and search_params.keep_subtree:
+        from nuzero_tpu.utils.packing import make_packer
+
+        _, _, state_dim = make_packer(env.init(jax.random.key(0)))
+        num_nodes = search_params.tree_capacity or (
+            2 * search_params.num_simulations + 2
+        )
+        tree = jax.vmap(lambda _: init_tree(env.num_actions, num_nodes, state_dim))(
+            jnp.arange(batch_size)
+        )
+        tree_valid = jnp.zeros(batch_size, bool)
     return SelfplayState(
         games=games,
         obs_buf=jnp.zeros((batch_size, L, obs_flat), jnp.float32),
@@ -59,6 +86,8 @@ def init_selfplay(
         rng=rng,
         total_moves=jnp.int32(0),
         total_games=jnp.int32(0),
+        tree=tree,
+        tree_valid=tree_valid,
     )
 
 
@@ -72,13 +101,24 @@ def make_selfplay_step(
 
     One call = one move in every live game.  Jit at the call site.
     """
-    search = make_search_fn(env, apply_fn, search_params, training)
+    search_fresh = make_search_fn(env, apply_fn, search_params, training)
+    search_carry = make_search_fn(
+        env, apply_fn, search_params, training, with_tree=True
+    )
 
     def step(variables, sp: SelfplayState):
         B = sp.move_count.shape[0]
+        reuse = sp.tree is not None
         rng, k_search, k_reset = jax.random.split(sp.rng, 3)
 
-        res = search(variables, sp.games, sp.move_count, k_search)
+        if reuse:
+            res, tree = search_carry(
+                variables, sp.games, sp.move_count, k_search,
+                sp.tree, sp.tree_valid,
+            )
+        else:
+            res = search_fresh(variables, sp.games, sp.move_count, k_search)
+            tree = None
 
         # Record the pre-move position + its search policy
         # (ref Gamer.py:65-66,74-77 store_state/store_search_statistics).
@@ -115,6 +155,14 @@ def make_selfplay_step(
         games = jax.tree.map(select, fresh, stepped)
         move_count = jnp.where(recycle, 0, sp.move_count + 1)
 
+        # Re-root the carried trees at the played actions; recycled games
+        # and actions without a materialized child restart from a fresh
+        # tree next move (ref Gamer.py:78-79 keep_subtree root swap).
+        tree_valid = None
+        if reuse:
+            tree, ok = jax.vmap(reroot)(tree, res.action)
+            tree_valid = ok & ~recycle
+
         stats = {
             "finished": done.sum(),
             "root_value_mean": res.root_value.mean(),
@@ -129,6 +177,8 @@ def make_selfplay_step(
             rng=rng,
             total_moves=sp.total_moves + B,
             total_games=sp.total_games + done.sum().astype(jnp.int32),
+            tree=tree,
+            tree_valid=tree_valid,
         )
         return new_sp, finished, stats
 
