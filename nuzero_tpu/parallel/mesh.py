@@ -44,6 +44,34 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_replicated(tree: Any, mesh: Mesh) -> Any:
+    """device_put every leaf replicated over the mesh (params, opt state)."""
+    repl = replicate(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, repl), tree)
+
+
+def place_batch_sharded(tree: Any, mesh: Mesh) -> Any:
+    """device_put leaves sharded on their leading (game/batch) axis when it
+    divides the mesh; scalars and indivisible leaves are replicated.
+
+    This is the committed-input placement for the self-play state and the
+    replay buffer: each device owns its shard of games — the moral
+    equivalent of the reference's ``SPREAD`` Ray actors
+    (``Training/Gamer.py:17``) but inside one XLA program.
+    """
+    repl = replicate(mesh)
+    shard = shard_batch(mesh)
+    n_dev = mesh.size
+
+    def put(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 1 and x.shape[0] > 0 and x.shape[0] % n_dev == 0:
+            return jax.device_put(x, shard)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(put, tree)
+
+
 def make_sharded_superstep(env, manager, learner, search_params, *,
                            mesh: Mesh, batch_size: int, train_batch: int,
                            pred_iters: int = 2):
@@ -63,24 +91,12 @@ def make_sharded_superstep(env, manager, learner, search_params, *,
 
     sp_step = make_selfplay_step(env, net, search_params, training=True)
 
-    repl = replicate(mesh)
-    shard = shard_batch(mesh)
-    n_dev = mesh.size
-
-    def place_sharded(tree):
-        """Shard leading (game) axes over dp; replicate scalars/indivisible."""
-
-        def put(x):
-            x = jax.numpy.asarray(x)
-            if x.ndim >= 1 and x.shape[0] % n_dev == 0 and x.shape[0] > 0:
-                return jax.device_put(x, shard)
-            return jax.device_put(x, repl)
-
-        return jax.tree.map(put, tree)
-
     def placement(state, sp, buffer):
-        state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
-        return state, place_sharded(sp), place_sharded(buffer)
+        return (
+            place_replicated(state, mesh),
+            place_batch_sharded(sp, mesh),
+            place_batch_sharded(buffer, mesh),
+        )
 
     def superstep(state, sp, buffer, rng):
         rng, k_s, k_t = jax.random.split(rng, 3)

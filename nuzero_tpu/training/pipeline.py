@@ -10,11 +10,15 @@ TPU-native design: the Ray actor topology (Gamer pool + ReplayBuffer actor +
 RemoteStorage) collapses into an on-device actor-learner.  Self-play,
 replay and SGD all operate on device-resident arrays; the host loop only
 sequences jitted calls and does IO (journal, checkpoints).  "Asynchronous"
-mode becomes strict interleaving of one self-play lockstep move-batch with
-each training update — the actor/learner ratio is controlled by batch
-sizes rather than wall-clock update_delay.  Weights never leave the device
-between checkpoint saves (the reference ships pickled CPU copies through
-Ray's object store per game — ``AlphaZero.py:291-294``, ``Gamer.py:40``).
+mode interleaves self-play lockstep move-batches with training updates,
+honoring ``update_delay``'s wall-clock decoupling: actors keep playing
+until ``update_delay`` seconds have elapsed since the previous update (ref
+``AlphaZero.py:389-404,468-469,1259-1266``).  In-loop evaluation can run on
+a host worker thread (``asynchronous_testing``) so training never stalls on
+eval batches (ref ``RemoteTestManager`` + ``AlphaZero.py:1268-1280``).
+Weights never leave the device between checkpoint saves (the reference
+ships pickled CPU copies through Ray's object store per game —
+``AlphaZero.py:291-294``, ``Gamer.py:40``).
 """
 
 from __future__ import annotations
@@ -67,12 +71,32 @@ class AlphaZero:
         run_dir: Optional[str] = None,
         test_hook: Optional[Callable] = None,
         state_set: Optional[jax.Array] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis.  When
+        given, the self-play game batch and the replay buffer's game axis are
+        sharded over the mesh while params/optimizer state stay replicated;
+        XLA inserts the gradient all-reduce from the committed input
+        shardings.  This replaces the reference's Ray cluster topology
+        (Gamer actors spread over nodes + one learner,
+        ref ``Training/AlphaZero.py:525-577``) with one SPMD program."""
         self.env = env
         self.manager = manager
         self.cfg = train_config
         self.search_params = search_params
         self.run_dir = run_dir
+        self.mesh = mesh
+        if mesh is not None:
+            if train_config.running.num_actors % mesh.size:
+                raise ValueError(
+                    f"num_actors={train_config.running.num_actors} must "
+                    f"divide the mesh size {mesh.size}"
+                )
+            if train_config.learning.replay_window_size % mesh.size:
+                raise ValueError(
+                    f"replay_window_size={train_config.learning.replay_window_size}"
+                    f" must divide the mesh size {mesh.size}"
+                )
         self.test_hook = test_hook  # called (state, step) -> dict of metrics
         # Fixed probe positions whose value-head outputs are tracked per
         # plot step (ref AlphaZero.state_set + update_state_set_data,
@@ -81,6 +105,13 @@ class AlphaZero:
         self.journal = MetricsJournal(
             os.path.join(run_dir, "journal.jsonl") if run_dir else None
         )
+
+        if train_config.cache.cache_choice not in ("disabled", "none"):
+            print(
+                "note: Cache.cache_choice is obsolete on this runtime — "
+                "self-play leaf inference is batched on-device "
+                "(see CacheConfig docstring); ignoring"
+            )
 
         self.learner = Learner(manager, learner_config_from_training(train_config))
 
@@ -117,12 +148,19 @@ class AlphaZero:
 
         self._probe_values = jax.jit(probe_values)
         self.add_games = jax.jit(replay_lib.add_games, donate_argnums=(0,))
+        self._sample = jax.jit(
+            replay_lib.sample,
+            static_argnums=(2,),
+            static_argnames=("late_heavy", "with_replacement"),
+        )
         self.trajectory_length = (
             train_config.running.max_trajectory_length or env.max_game_length
         )
 
         # In-loop evaluation vs RandomAgent, policy/mcts x both seats
-        # (ref AlphaZero.run_tests, AlphaZero.py:596-645).
+        # (ref AlphaZero.run_tests, AlphaZero.py:596-645).  Test agents run
+        # at test_iterations recurrent steps (ref uses the Testing config's
+        # iteration count, not pred_iterations).
         from nuzero_tpu.evaluation import (
             MctsAgent,
             PolicyAgent,
@@ -130,12 +168,26 @@ class AlphaZero:
             TestManager,
         )
 
+        test_iters = train_config.recurrent.test_iterations
         self.test_manager = TestManager(env, train_config.testing.testing_actors)
         self._random_agent = RandomAgent()
-        self._policy_agent = PolicyAgent(manager, None, pred_iters)
+        self._policy_agent = PolicyAgent(manager, None, test_iters)
         self._mcts_agent = MctsAgent(
-            manager, None, search_params, pred_iters
+            manager, None, search_params, test_iters
         )
+        # Asynchronous testing (ref RemoteTestManager +
+        # AlphaZero.py:347-349,613-627,1268-1280): eval batches run on a
+        # host worker thread and are harvested without blocking training.
+        # JAX arrays are immutable, so the snapshot of params handed to the
+        # thread is free (the reference ships pickled CPU copies).
+        self._test_executor = None
+        self._pending_tests: list = []
+        if train_config.testing.asynchronous_testing:
+            import concurrent.futures
+
+            self._test_executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="nuzero-eval"
+            )
         self.buffer = replay_lib.create_buffer(
             train_config.learning.replay_window_size,
             self.trajectory_length,
@@ -161,7 +213,7 @@ class AlphaZero:
         if cfg.learning_method == "samples":
             for _ in range(cfg.num_samples):
                 rng, k_s, k_t = jax.random.split(rng, 3)
-                batch = replay_lib.sample(
+                batch = self._sample(
                     self.buffer,
                     k_s,
                     cfg.batch_size,
@@ -182,7 +234,7 @@ class AlphaZero:
                     rng, k_s, k_t = jax.random.split(rng, 3)
                     # Sampling w/o replacement within the epoch approximates
                     # the reference's shuffle-and-slice sweep on device.
-                    batch = replay_lib.sample(
+                    batch = self._sample(
                         self.buffer,
                         k_s,
                         cfg.epochs_batch_size,
@@ -193,15 +245,16 @@ class AlphaZero:
             raise ValueError(f"bad learning_method {cfg.learning_method!r}")
         return state, rng, metrics
 
-    def _run_inloop_tests(self, state: TrainState, step: int) -> dict:
-        """Policy/MCTS agents vs RandomAgent on both seats
+    def _inloop_test_job(self, params, step: int) -> dict:
+        """One eval batch: policy/MCTS agents vs RandomAgent on both seats
         (ref AlphaZero.py:596-645: test types p1_policy/p2_policy/
-        p1_mcts/p2_mcts)."""
+        p1_mcts/p2_mcts).  Runs inline, or on the eval worker thread when
+        asynchronous_testing is on."""
         cfg = self.cfg.testing
         out = {}
 
         def run(agent, n_games, tag, seed):
-            agent.set_network(state.params)
+            agent.set_network(params)
             s_p0 = self.test_manager.run_test_batch(
                 n_games, agent, self._random_agent,
                 jax.random.key(seed), show_results=False,
@@ -220,6 +273,49 @@ class AlphaZero:
         if cfg.mcts_test_frequency and step % cfg.mcts_test_frequency == 0:
             run(self._mcts_agent, cfg.num_mcts_test_games, "mcts", 2 * step + 1)
         return out
+
+    def _tests_due(self, step: int) -> bool:
+        cfg = self.cfg.testing
+        return bool(
+            (cfg.policy_test_frequency and step % cfg.policy_test_frequency == 0)
+            or (cfg.mcts_test_frequency and step % cfg.mcts_test_frequency == 0)
+        )
+
+    def _run_inloop_tests(self, state: TrainState, step: int) -> dict:
+        if not self._tests_due(step):
+            return {}
+        if self._test_executor is None:
+            return self._inloop_test_job(state.params, step)
+        # Async: submit and return immediately.  The train step DONATES the
+        # TrainState buffers, so the eval thread needs its own device copy
+        # of the params (the reference ships pickled CPU copies through the
+        # object store — here it's one device-to-device copy).  Jobs
+        # serialize on the single worker, so the shared test agents are
+        # never raced.
+        params_copy = jax.tree.map(jnp.copy, state.params)
+        self._pending_tests.append(
+            (step, self._test_executor.submit(
+                self._inloop_test_job, params_copy, step
+            ))
+        )
+        return {}
+
+    def _harvest_async_tests(self, block: bool = False) -> None:
+        """Journal finished async eval batches under their launch step (ref
+        ``check_pending_tests`` harvest + in-order insert,
+        ``AlphaZero.py:1268-1280,1139-1162`` — JSONL records carry their own
+        step, so append order doesn't matter to consumers)."""
+        remaining = []
+        for step, fut in self._pending_tests:
+            if block or fut.done():
+                res = fut.result()
+                if res:
+                    self.journal.append(
+                        {"step": step, "async_test": True, **res}
+                    )
+            else:
+                remaining.append((step, fut))
+        self._pending_tests = remaining
 
     # -- main loop -----------------------------------------------------------
 
@@ -240,6 +336,17 @@ class AlphaZero:
             self.trajectory_length,
             search_params=self.search_params,
         )
+        if self.mesh is not None:
+            # Commit the carried pytrees to their mesh shardings once; the
+            # donated jitted steps preserve them for the whole run.
+            from nuzero_tpu.parallel.mesh import (
+                place_batch_sharded,
+                place_replicated,
+            )
+
+            state = place_replicated(state, self.mesh)
+            sp = place_batch_sharded(sp, self.mesh)
+            self.buffer = place_batch_sharded(self.buffer, self.mesh)
 
         if cfg.running.early_fill_per_type > 0 and starting_step == 0:
             t0 = time.time()
@@ -250,6 +357,17 @@ class AlphaZero:
                 f"early fill: {n} games in {time.time() - t0:.1f}s "
                 f"({int(self.buffer.num_positions)} positions)"
             )
+
+        if (
+            cfg.testing.early_testing
+            and starting_step == 0
+            and self.test_hook is None
+        ):
+            # Baseline eval before any update (ref early_testing knob +
+            # AlphaZero.py run_tests at step 0).
+            res = self._run_inloop_tests(state, 0)
+            if res:
+                self.journal.append({"step": 0, **res})
 
         sequential = cfg.running.running_mode == "sequential"
         for step in range(starting_step + 1, cfg.running.training_steps + 1):
@@ -262,11 +380,18 @@ class AlphaZero:
                     cfg.running.num_games_per_type_per_step,
                 )
             else:
-                # Asynchronous mode: one lockstep move-batch per train step
-                # (actor and learner interleave on-device).
-                sp, finished, sp_stats = self.sp_step(state.params, sp)
-                self.buffer = self.add_games(self.buffer, finished)
-                games = int(sp_stats["finished"])
+                # Asynchronous mode: actors play continuously; the learner
+                # rate is set by update_delay (ref wall-clock-decoupled mode,
+                # AlphaZero.py:389-404,468-469,1259-1266) — self-play
+                # move-batches keep running until update_delay seconds have
+                # elapsed since the last update (always at least one batch).
+                games = 0
+                while True:
+                    sp, finished, sp_stats = self.sp_step(state.params, sp)
+                    self.buffer = self.add_games(self.buffer, finished)
+                    games += int(sp_stats["finished"])
+                    if time.time() - t0 >= cfg.running.update_delay:
+                        break
 
             rng, k_t = jax.random.split(rng)
             state, rng, tr_metrics = self._train_once(state, k_t)
@@ -276,6 +401,10 @@ class AlphaZero:
                 "games": games,
                 "buffer_games": int(self.buffer.num_games),
                 "buffer_positions": int(self.buffer.num_positions),
+                # Insertion count at this step — the step_to_size_map
+                # equivalent enabling partial buffer loads
+                # (ref ReplayBuffer.py:64-104).
+                "buffer_seq": int(self.buffer.games_added),
                 "updates": int(state.step),
                 "loss/combined": float(tr_metrics.get("loss/combined", np.nan)),
                 "loss/policy": float(tr_metrics.get("loss/policy", np.nan)),
@@ -285,10 +414,12 @@ class AlphaZero:
             }
 
             if self.test_hook is not None:
-                if step % cfg.testing.policy_test_frequency == 0:
+                freq = cfg.testing.policy_test_frequency
+                if freq and step % freq == 0:
                     record.update(self.test_hook(state, step) or {})
             else:
                 record.update(self._run_inloop_tests(state, step))
+            self._harvest_async_tests()
 
             if (
                 self.state_set is not None
@@ -316,9 +447,47 @@ class AlphaZero:
                     os.path.join(self.run_dir, "checkpoints"), step, tree
                 )
 
+        self._harvest_async_tests(block=True)
         return state
 
     # -- resume --------------------------------------------------------------
+
+    def load_buffer_at_step(self, step: int) -> bool:
+        """Restore the replay buffer to its state at training step ``step``
+        from the NEWEST buffer-bearing checkpoint, dropping games inserted
+        after that step (ref ``ReplayBuffer.py:80-104`` partial load by
+        ``step_to_size_map``; the insertion count per step lives in the
+        journal's ``buffer_seq``).  Returns True on success."""
+        assert self.run_dir is not None
+        from nuzero_tpu.utils.checkpoint import latest_step
+
+        root = os.path.join(self.run_dir, "checkpoints")
+        newest = latest_step(root)
+        if newest is None:
+            return False
+        seq_at_step = None
+        for rec in self.journal.load():
+            if rec.get("step") == step and "buffer_seq" in rec:
+                seq_at_step = rec["buffer_seq"]
+                break
+        if seq_at_step is None:
+            return False
+        template_state = self.learner.init_state(jax.random.key(0))
+        template = {
+            "params": template_state.params,
+            "opt_state": template_state.opt_state,
+            "step": template_state.step,
+            "rng": jax.random.key_data(jax.random.key(0)),
+            "buffer": self.buffer,
+        }
+        try:
+            tree, _ = restore_checkpoint(root, newest, template)
+        except Exception:
+            return False
+        if tree.get("buffer") is None:
+            return False
+        self.buffer = replay_lib.truncate_to_seq(tree["buffer"], seq_at_step)
+        return True
 
     def load(self, step: int | str = "auto") -> tuple[TrainState, int]:
         """Restore params/opt/buffer from this run's checkpoints
@@ -338,11 +507,21 @@ class AlphaZero:
         )
         if "buffer" in tree and tree["buffer"] is not None:
             self.buffer = tree["buffer"]
+        elif self.cfg.checkpoint.load_buffer:
+            # Partial load: this checkpoint carries no buffer, so restore
+            # the newest saved one truncated to its state at this step
+            # (ref ReplayBuffer.py:80-104 step_to_size_map semantics).
+            self.load_buffer_at_step(step)
         ckpt = self.cfg.checkpoint
         opt_state = (
             tree["opt_state"]
             if ckpt.keep_optimizer
             else self.learner.tx.init(tree["params"])
+        )
+        # keep_scheduler: resume or restart the LR schedule independently of
+        # the optimizer moments (ref AlphaZero.py:110-146).
+        opt_state = self.learner.set_schedule_count(
+            opt_state, tree["step"] if ckpt.keep_scheduler else 0
         )
         state = TrainState(
             params=tree["params"],

@@ -79,11 +79,20 @@ def _managers(env, arch: str, hex: bool = True):
 
 
 def _train(env, manager, train_cfg_file, search_cfg_file, name=None, state_set=None):
+    import jax
+
     from nuzero_tpu.config import load_search_config, load_training_config
+    from nuzero_tpu.parallel import make_mesh
     from nuzero_tpu.training import AlphaZero
 
     cfg = load_training_config(os.path.join(REPO, "configs", "training", train_cfg_file))
     search = load_search_config(os.path.join(REPO, "configs", "search", search_cfg_file))
+    # Multi-device: shard self-play + replay over a dp mesh automatically
+    # (the reference's Ray-cluster topology, as one SPMD program).
+    devices = jax.devices()
+    mesh = make_mesh(devices) if len(devices) > 1 else None
+    if mesh is not None:
+        print(f"training on a {mesh.size}-device dp mesh")
     run_name = name or cfg.network_name
     run_dir = os.path.join(RUNS, run_name)
     os.makedirs(run_dir, exist_ok=True)
@@ -98,7 +107,10 @@ def _train(env, manager, train_cfg_file, search_cfg_file, name=None, state_set=N
         os.path.join(REPO, "configs", "search", search_cfg_file),
         os.path.join(run_dir, "search_config_copy.yaml"),
     )
-    az = AlphaZero(env, manager, cfg, search, run_dir=run_dir, state_set=state_set)
+    az = AlphaZero(
+        env, manager, cfg, search, run_dir=run_dir, state_set=state_set,
+        mesh=mesh,
+    )
     if cfg.load_checkpoint:
         state, step = az.load(cfg.checkpoint.iteration_number)
         az.run(initial_state=state, starting_step=step)
@@ -266,6 +278,13 @@ def main():
     )
     parser.add_argument("--name", type=str, default=None,
                         help="run/network name override")
+    parser.add_argument(
+        "--cache",
+        choices=["dict", "keyless", "disabled"],
+        default="disabled",
+        help="host inference cache for --play agents "
+        "(ref Cache config section)",
+    )
     args = parser.parse_args()
 
     if args.training_preset is not None:
@@ -290,6 +309,10 @@ def main():
             )
         else:
             agent = RandomAgent()
+        if args.cache != "disabled":
+            from nuzero_tpu.utils.caches import create_cache
+
+            agent.set_cache(create_cache(args.cache, 4096))
         play_vs_agent(env, agent, human_player=0)
     elif args.interactive:
         from nuzero_tpu.interactive import start
