@@ -50,6 +50,16 @@ class RunningConfig:
 
 @dataclasses.dataclass(frozen=True)
 class CacheConfig:
+    """Self-play inference cache (ref training-YAML ``Cache`` section).
+
+    Obsolete by design on this runtime: the reference's caches memoize
+    batch-1 host inference inside Gamer/Explorer (``Explorer.py:137-160``),
+    which the fully-batched on-device MCTS eliminated.  The section is
+    accepted (configs port unchanged) and the coordinator prints a notice
+    when enabled.  Caches DO serve the host-driven surfaces: per-agent
+    ``Cache`` sections in Testing YAMLs and ``run.py --play --cache``.
+    """
+
     cache_choice: str = "disabled"  # dict | keyless | disabled
     max_size: int = 12000
     keep_updated: bool = False

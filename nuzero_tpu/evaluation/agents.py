@@ -36,6 +36,37 @@ NEG_INF = jnp.float32(-1e9)
 
 class Agent:
     name: str = "agent"
+    # Optional host inference cache for host-driven (batch-1) play — human
+    # games and visual tests (ref per-agent Cache section in the Testing
+    # YAML, ``TestManager.py:282-295``).  The batched device path never
+    # consults it: leaf evaluations are already fused into MXU-sized
+    # batches, which is what the reference's caches tried to approximate.
+    cache = None
+
+    def set_cache(self, cache) -> None:
+        self.cache = cache
+
+    def choose_host(self, env, state, variables, rng, move_count: int = 0) -> int:
+        """Pick one action for a single host-side state, memoized through
+        ``self.cache`` when set.  The reference caches batch-1 NN outputs
+        inside Explorer/PolicyAgent (``Explorer.py:137-160``); here the
+        deterministic eval-mode agents memoize the chosen action per
+        observed state — the same work saved, one level up."""
+        import numpy as np
+
+        obs = None
+        if self.cache is not None:
+            obs = np.asarray(env.observe(state))
+            hit = self.cache.get(obs)
+            if hit is not None:
+                return int(hit)
+        pol = self.policy(env)
+        batched = jax.tree.map(lambda x: jnp.stack([x]), state)
+        lengths = jnp.full((1,), move_count, jnp.int32)
+        action = int(np.asarray(pol(variables, batched, lengths, rng))[0])
+        if self.cache is not None:
+            self.cache.put((obs, action))
+        return action
 
     def policy(self, env) -> Callable:
         """Memoized batched action chooser for ``env``.  The cache key
@@ -85,9 +116,17 @@ class PolicyAgent(Agent):
 
     def set_network(self, variables):
         self.variables = variables
+        self._reset_cache()
 
     def set_recurrent_iterations(self, iters):
         self.recurrent_iterations = int(iters)
+        self._reset_cache()
+
+    def _reset_cache(self):
+        # Network/iteration changes invalidate memoized host decisions
+        # (ref MctsAgent.py:59-65 setters reset the cache).
+        if self.cache is not None:
+            self.cache.clear()
 
     def _policy_key(self):
         return self.recurrent_iterations
@@ -140,9 +179,15 @@ class MctsAgent(Agent):
 
     def set_network(self, variables):
         self.variables = variables
+        self._reset_cache()
 
     def set_recurrent_iterations(self, iters):
         self.recurrent_iterations = int(iters)
+        self._reset_cache()
+
+    def _reset_cache(self):
+        if self.cache is not None:
+            self.cache.clear()
 
     def _policy_key(self):
         return (self.recurrent_iterations, self.search_params)

@@ -31,6 +31,10 @@ class MatchStats:
     p1_wins: int
     draws: int
     avg_length: float
+    # Games that hit max_moves without terminating.  They count as draws
+    # (like the reference's move-capped Tester games) but are reported so
+    # long-game envs (SCS) can't silently bias win-rate stats.
+    truncated: int = 0
 
     @property
     def p0_win_rate(self) -> float:
@@ -95,13 +99,15 @@ class Arena:
         finished = np.asarray(done)
         p0_wins = int(((values > 0) & finished).sum())
         p1_wins = int(((values < 0) & finished).sum())
-        draws = int(((values == 0) & finished).sum()) + int((~finished).sum())
+        truncated = int((~finished).sum())
+        draws = int(((values == 0) & finished).sum()) + truncated
         return MatchStats(
             num_games=num_games,
             p0_wins=p0_wins,
             p1_wins=p1_wins,
             draws=draws,
             avg_length=float(np.asarray(lengths).mean()),
+            truncated=truncated,
         )
 
 

@@ -54,11 +54,10 @@ def play_vs_agent(
     """Play one game in the terminal; returns the terminal value
     (+1 = player 0 wins, -1 = player 1, 0 = draw)."""
     step = jax.jit(env.step)
-    policy = agent.policy(env)
     variables = getattr(agent, "variables", None)
     rng = jax.random.key(seed)
     state = env.init(None)
-    batch = lambda s: jax.tree.map(lambda x: jnp.stack([x]), s)
+    moves = 0
 
     while not bool(env.terminal(state)):
         player = int(env.current_player(state))
@@ -75,10 +74,12 @@ def play_vs_agent(
                 print_fn(f"illegal move {text!r} — try again")
         else:
             rng, sub = jax.random.split(rng)
-            lengths = jnp.zeros((1,), jnp.int32)
-            a = int(np.asarray(policy(variables, batch(state), lengths, sub))[0])
+            # Cache-aware host decision (the wired consumer of the
+            # inference-cache subsystem; ref Gamer/Tester cache use).
+            a = agent.choose_host(env, state, variables, sub, moves)
             print_fn(f"[{agent.name}] plays {a}")
         state = step(state, int(a))
+        moves += 1
 
     _render(env, state, print_fn)
     value = float(env.terminal_value(state))

@@ -79,11 +79,14 @@ class TestManager:
             rng,
         )
         if show_results:
+            trunc = (
+                f" | truncated {stats.truncated}" if stats.truncated else ""
+            )
             print(
                 f"{p0_agent.name} (P1) vs {p1_agent.name} (P2): "
                 f"P1 {stats.p0_win_rate:.1%} | P2 {stats.p1_win_rate:.1%} "
                 f"| draws {stats.draw_rate:.1%} "
-                f"| avg length {stats.avg_length:.1f}"
+                f"| avg length {stats.avg_length:.1f}{trunc}"
             )
         return stats
 
@@ -96,10 +99,28 @@ class TestManager:
         game_dir: Optional[str] = None,
     ) -> Agent:
         agent_type = agent_cfg["agent_type"]
+
+        def with_cache(agent):
+            # Per-agent host inference cache (ref Testing YAML Cache
+            # section, TestManager.py:282-295).  Serves host-driven play
+            # (visual tests / human games); the batched arena path has no
+            # batch-1 inference to cache.
+            cache_cfg = agent_cfg.get("Cache")
+            if cache_cfg and cache_cfg.get("cache_choice", "disabled") != "disabled":
+                from nuzero_tpu.utils.caches import create_cache
+
+                agent.set_cache(
+                    create_cache(
+                        cache_cfg["cache_choice"],
+                        int(cache_cfg.get("max_size", 10000)),
+                    )
+                )
+            return agent
+
         if agent_type == "random":
-            return RandomAgent()
+            return with_cache(RandomAgent())
         if agent_type == "goal_rush":
-            return GoalRushAgent()
+            return with_cache(GoalRushAgent())
 
         net_cfg = agent_cfg.get("Network", {})
         iters = int(net_cfg.get("recurrent_iterations", 2))
@@ -119,13 +140,13 @@ class TestManager:
             variables = manager.init(jax.random.key(0))
 
         if agent_type == "policy":
-            return PolicyAgent(manager, variables, iters)
+            return with_cache(PolicyAgent(manager, variables, iters))
         if agent_type == "mcts":
             sp_path = agent_cfg.get("search_config_path")
             params = (
                 load_search_config(sp_path) if sp_path else SearchParams()
             )
-            return MctsAgent(manager, variables, params, iters)
+            return with_cache(MctsAgent(manager, variables, params, iters))
         raise ValueError(f"unknown agent type {agent_type!r}")
 
     # ------------------------------------------------------------------ #
@@ -219,23 +240,19 @@ class TestManager:
         """Play ONE game move-by-move, returning the action history
         (ref ``TestManager.run_visual_test`` + ``Tester`` print/replay)."""
         env = self.env
-        pol0 = p0_agent.policy(env)
-        pol1 = p1_agent.policy(env)
         v0 = getattr(p0_agent, "variables", None)
         v1 = getattr(p1_agent, "variables", None)
         rng = jax.random.key(seed)
         state = env.init(None)
         history = []
-        batch = lambda s: jax.tree.map(lambda x: jnp.stack([x]), s)
         while not bool(env.terminal(state)):
             rng, k = jax.random.split(rng)
-            b = batch(state)
-            lengths = jnp.asarray([len(history)], jnp.int32)
+            # choose_host consults the agent's inference cache when set
+            # (ref Tester's cache-aware agent loop, Tester.py:46-121).
             if int(env.current_player(state)) == 0:
-                a = pol0(v0, b, lengths, k)
+                a = p0_agent.choose_host(env, state, v0, k, len(history))
             else:
-                a = pol1(v1, b, lengths, k)
-            a = int(a[0])
+                a = p1_agent.choose_host(env, state, v1, k, len(history))
             assert bool(env.legal_mask(state)[a]), "agent chose illegal move"
             history.append(a)
             state = env.step(state, jnp.int32(a))

@@ -82,6 +82,29 @@ class Learner:
             tx = optax.adam(schedule)
         self.tx = tx
 
+    @staticmethod
+    def set_schedule_count(opt_state, count):
+        """Overwrite the LR-schedule position inside an optimizer state.
+
+        Implements the reference's independent ``keep_scheduler`` resume
+        switch (ref ``AlphaZero.py:110-146``: keep the loaded MultiStepLR
+        state, or build a fresh scheduler at the initial LR): optax keeps
+        the schedule step in ``ScaleByScheduleState.count`` — reset it to 0
+        for a fresh schedule, or to the restored update count to resume it.
+        """
+        count = jnp.asarray(count, jnp.int32)
+
+        def fix(node):
+            if isinstance(node, optax.ScaleByScheduleState):
+                return optax.ScaleByScheduleState(count=count)
+            return node
+
+        return jax.tree.map(
+            fix,
+            opt_state,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByScheduleState),
+        )
+
     def init_state(self, key: jax.Array) -> TrainState:
         params = self.manager.init(key)
         return TrainState(

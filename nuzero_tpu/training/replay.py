@@ -119,6 +119,30 @@ def add_games(buffer: ReplayBuffer, finished: FinishedGames) -> ReplayBuffer:
     )
 
 
+def truncate_to_seq(buffer: ReplayBuffer, seq_limit) -> ReplayBuffer:
+    """Restore the buffer to its state just before insertion ``seq_limit``
+    (ref ``ReplayBuffer.py:64-104``: ``step_to_size_map`` partial load —
+    resume at an earlier training step samples only games that existed
+    then).
+
+    Games inserted at/after ``seq_limit`` are dropped.  Like the reference
+    (which only allows partial loading "until the window first overflows"),
+    games older than the window that were already overwritten by dropped
+    ones cannot be recovered; their slots stay empty.  ``games_added`` is
+    reset to ``seq_limit`` (the true insertion count at that point), so the
+    late-heavy recency ranks are computed as they were then.
+    """
+    seq_limit = jnp.int32(seq_limit)
+    keep = (buffer.seq >= 0) & (buffer.seq < seq_limit)
+    return buffer.replace(
+        length=jnp.where(keep, buffer.length, 0),
+        seq=jnp.where(keep, buffer.seq, -1),
+        game_type=jnp.where(keep, buffer.game_type, 0),
+        games_added=jnp.minimum(buffer.games_added, seq_limit),
+        ptr=seq_limit % buffer.capacity,
+    )
+
+
 def position_weights(buffer: ReplayBuffer, late_heavy: bool) -> jax.Array:
     """f32[G, L] unnormalized sampling weights over valid positions.
 

@@ -49,6 +49,45 @@ def test_mcts_beats_random(tm):
     assert s2.p1_win_rate + s2.draw_rate >= 0.8
 
 
+def test_agent_cache_serves_host_play(tm):
+    """Per-agent inference caches are consulted on host-driven play and
+    cleared by the setters (ref Testing YAML Cache section +
+    MctsAgent.py:59-65)."""
+    from nuzero_tpu.utils.caches import DictCache
+
+    mgr = NetworkManager(MLPNetwork(out_features=9), ENV.observation_shape)
+    variables = mgr.init(jax.random.key(5))
+    agent = PolicyAgent(mgr, variables)
+    agent.set_cache(DictCache(max_size=64))
+
+    out1 = tm.run_visual_test(agent, RandomAgent(), seed=0)
+    assert agent.cache.length() > 0
+    assert agent.cache.misses > 0
+    # Replaying the same seed hits the memo for every P0 decision.
+    hits_before = agent.cache.hits
+    out2 = tm.run_visual_test(agent, RandomAgent(), seed=0)
+    assert agent.cache.hits > hits_before
+    assert out2["actions"] == out1["actions"]
+    # Network change invalidates the memo (ref setter semantics).
+    agent.set_network(mgr.init(jax.random.key(6)))
+    assert agent.cache.length() == 0
+
+
+def test_create_agent_from_config_wires_cache(tm):
+    mgr = NetworkManager(MLPNetwork(out_features=9), ENV.observation_shape)
+    agent = tm.create_agent_from_config(
+        {
+            "agent_type": "policy",
+            "Network": {"recurrent_iterations": 2, "load_checkpoint": False},
+            "Cache": {"cache_choice": "keyless", "max_size": 256,
+                      "keep_updated": False},
+        },
+        manager=mgr,
+    )
+    assert agent.cache is not None
+    assert agent.cache.max_length() == 256
+
+
 def test_policy_agent_legal_and_deterministic(tm):
     mgr = NetworkManager(MLPNetwork(out_features=9), ENV.observation_shape)
     agent = PolicyAgent(mgr, mgr.init(jax.random.key(3)))

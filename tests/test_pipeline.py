@@ -95,6 +95,129 @@ def test_asynchronous_mode(tmp_path):
     assert int(state.step) == 3
 
 
+def test_keep_scheduler_switch(tmp_path):
+    """keep_scheduler resumes or restarts the LR schedule independently of
+    the optimizer moments (ref AlphaZero.py:110-146)."""
+    import optax
+
+    az = _setup(tmp_path, steps=2)
+    az.run(seed=0)
+
+    def schedule_counts(opt_state):
+        return [
+            int(n.count)
+            for n in jax.tree.leaves(
+                opt_state,
+                is_leaf=lambda n: isinstance(n, optax.ScaleByScheduleState),
+            )
+            if isinstance(n, optax.ScaleByScheduleState)
+        ]
+
+    # Default (keep_scheduler=False): fresh schedule at count 0.
+    az2 = _setup(tmp_path, steps=2)
+    state, step = az2.load("auto")
+    assert schedule_counts(state.opt_state) == [0]
+
+    # keep_scheduler=True: schedule resumes at the restored update count.
+    az3 = _setup(tmp_path, steps=2)
+    az3.cfg = dataclasses.replace(
+        az3.cfg,
+        checkpoint=dataclasses.replace(az3.cfg.checkpoint, keep_scheduler=True),
+    )
+    state, step = az3.load("auto")
+    assert schedule_counts(state.opt_state) == [int(state.step)]
+    assert int(state.step) > 0
+
+
+def test_partial_buffer_load_by_step(tmp_path):
+    """Resuming at step N samples only games that existed then, even when
+    the buffer comes from a newer checkpoint (ref ReplayBuffer.py:80-104)."""
+    az = _setup(tmp_path, steps=4, save_frequency=2)
+    az.run(seed=0)
+    records = az.journal.load()
+    seq_at_2 = next(r["buffer_seq"] for r in records if r["step"] == 2)
+
+    az2 = _setup(tmp_path, steps=4)
+    assert az2.load_buffer_at_step(2)
+    # Buffer holds exactly the games inserted up to step 2 (ring capacity
+    # 64 was never overflowed here).
+    assert int(az2.buffer.games_added) == seq_at_2
+    seqs = np.asarray(az2.buffer.seq)
+    assert seqs.max() == seq_at_2 - 1
+
+
+def test_asynchronous_update_delay(tmp_path):
+    """update_delay decouples learner rate from actor rate: each train step
+    keeps playing move-batches until the delay has elapsed (ref
+    AlphaZero.py:389-404,468-469,1259-1266)."""
+    import time
+
+    env = TicTacToe()
+    mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
+    cfg = TrainingConfig(
+        running=RunningConfig(
+            num_actors=8,
+            training_steps=2,
+            running_mode="asynchronous",
+            update_delay=0.3,
+            early_fill_per_type=8,
+        ),
+        learning=LearningConfig(
+            replay_window_size=64, batch_size=16, num_samples=1
+        ),
+    )
+    az = AlphaZero(env, mgr, cfg, SearchParams(num_simulations=8), run_dir=None)
+    t0 = time.time()
+    state = az.run(seed=0)
+    assert int(state.step) == 2
+    assert time.time() - t0 >= 2 * 0.3  # each step waited out the delay
+
+
+def test_asynchronous_testing_and_early_testing(tmp_path):
+    """asynchronous_testing runs eval batches on a worker thread, harvested
+    into the journal under their launch step; early_testing evaluates the
+    untrained net at step 0 (ref RemoteTestManager +
+    AlphaZero.py:347-349,1268-1280)."""
+    from nuzero_tpu.config.schemas import TestingFrequencyConfig
+
+    env = TicTacToe()
+    mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
+    cfg = TrainingConfig(
+        running=RunningConfig(
+            num_actors=8,
+            training_steps=3,
+            num_games_per_type_per_step=2,
+            early_fill_per_type=8,
+        ),
+        learning=LearningConfig(
+            replay_window_size=64, batch_size=16, num_samples=1
+        ),
+        testing=TestingFrequencyConfig(
+            asynchronous_testing=True,
+            early_testing=True,
+            policy_test_frequency=2,
+            mcts_test_frequency=0,
+            num_policy_test_games=8,
+            testing_actors=8,
+        ),
+    )
+    az = AlphaZero(
+        env, mgr, cfg, SearchParams(num_simulations=8), run_dir=str(tmp_path)
+    )
+    az.run(seed=0)
+    records = az.journal.load()
+    # Train-loop records never carry eval results inline (non-blocking)...
+    train_records = [r for r in records if not r.get("async_test")]
+    assert not any("wr/policy_as_p0" in r for r in train_records)
+    # ...eval results arrive as separate records tagged with their step:
+    # step 0 (early_testing) and step 2 (policy_test_frequency).
+    async_steps = sorted(r["step"] for r in records if r.get("async_test"))
+    assert async_steps == [0, 2]
+    for r in records:
+        if r.get("async_test"):
+            assert 0.0 <= r["wr/policy_as_p0"] <= 1.0
+
+
 def test_value_probe_state_set(tmp_path):
     """State-set value probes land in the journal at plot frequency
     (ref AlphaZero.py:1175-1179)."""

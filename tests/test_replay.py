@@ -10,6 +10,7 @@ from nuzero_tpu.training.replay import (
     create_buffer,
     position_weights,
     sample,
+    truncate_to_seq,
 )
 
 OBS = (2, 3, 3)
@@ -96,6 +97,39 @@ def test_late_heavy_weights_favor_recent():
     seqs, ws = order[filled], per_game[filled]
     assert (ws[np.argsort(seqs)] == np.sort(ws)).all()
     assert ws.max() > ws.min()
+
+
+def test_truncate_to_seq_partial_load():
+    """Partial load by step: only games that existed at the cut survive
+    (ref ReplayBuffer.py:64-104 step_to_size_map)."""
+    buf = create_buffer(8, L, OBS, A)
+    buf = add_games(buf, _finished(3, start_val=0))  # seq 0,1,2 ("step 1")
+    seq_at_step1 = int(buf.games_added)
+    buf = add_games(buf, _finished(2, start_val=100))  # seq 3,4 ("step 2")
+
+    cut = truncate_to_seq(buf, seq_at_step1)
+    assert int(cut.num_games) == 3
+    assert int(cut.games_added) == 3
+    assert int(cut.ptr) == 3  # next insertion continues where step 1 left off
+    kept = np.asarray(cut.seq)[np.asarray(cut.length) > 0]
+    assert sorted(kept.tolist()) == [0, 1, 2]
+    # Sampling never draws a dropped game (tags >= 100).
+    obs, _, _, _ = sample(cut, jax.random.key(0), 128)
+    assert (np.asarray(obs).reshape(128, -1)[:, 0] < 100).all()
+    # Inserting after the cut reuses the ring exactly as at step 1.
+    cut = add_games(cut, _finished(1, start_val=200))
+    assert int(cut.games_added) == 4
+
+
+def test_truncate_to_seq_overwritten_slots_stay_empty():
+    """Games evicted by post-cut insertions are unrecoverable — their slots
+    stay empty (ref: partial load valid until the window first overflows)."""
+    buf = create_buffer(3, L, OBS, A)
+    buf = add_games(buf, _finished(3, start_val=0))  # fills ring: seq 0,1,2
+    buf = add_games(buf, _finished(2, start_val=100))  # evicts seq 0,1
+    cut = truncate_to_seq(buf, 3)
+    kept = np.asarray(cut.seq)[np.asarray(cut.length) > 0]
+    assert sorted(kept.tolist()) == [2]  # 0 and 1 are gone for good
 
 
 def test_sample_without_replacement_unique():
