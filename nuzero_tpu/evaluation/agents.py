@@ -209,7 +209,23 @@ class MctsAgent(Agent):
 
 
 class GoalRushAgent(Agent):
-    """SCS-only scripted baseline: rush the nearest enemy VP."""
+    """SCS-only scripted baseline: rush the nearest enemy VP, attacking
+    enemies that stand on the path (ref ``Agents/SCS/GoalRushAgent.py``).
+
+    Per sub-phase (the legal mask restricts actions to one sub-phase, so
+    scores never compete across phases):
+
+    - placement: uniform random (ref ``:26-31``);
+    - movement: step to the neighbor with the lowest Dijkstra distance to
+      the nearest enemy VP; no-move carries a slight malus (ref ``:34-66``);
+    - choose target: target an adjacent enemy tile that is a FORWARD step
+      for one of this player's moved units (an adjacent moved unit sits at
+      a larger distance than the enemy's tile — the vectorized equivalent
+      of "the enemy is on the unit's path", ref ``:68-94``); skip combat
+      otherwise (ref ``:96-103``);
+    - choose attackers: add attackers (uniformly) while any remain; confirm
+      only when it is the sole legal action (ref ``:105-117``).
+    """
 
     name = "goal_rush"
 
@@ -225,14 +241,11 @@ class GoalRushAgent(Agent):
                 legal = env.legal_mask(state)
                 my_dist = dist[p]  # f32[R, C]
 
-                # Destination distance per action plane cell: movement
-                # planes score by their destination; no-move scores by the
-                # current tile (slightly discouraged); everything else
-                # random via uniform noise tie-break.
                 total_planes = env.action_space_shape[0]
                 plane_scores = jnp.full(
                     (total_planes, R, C), 0.0, jnp.float32
                 )
+                # -- movement: score by destination distance.
                 for d in range(6):
                     ddist = my_dist[env.nbr_r[d], env.nbr_c[d]]
                     for s in range(K):
@@ -243,10 +256,40 @@ class GoalRushAgent(Agent):
                     plane_scores = plane_scores.at[
                         env.confirm_limit + s
                     ].set(my_dist + 0.5)  # no-move: stay put, slight malus
+
+                # -- choose target: the legal no-fight planes mark this
+                # player's moved units, so "enemy on the path" = a legal
+                # target cell adjacent to a moved unit strictly farther
+                # from the VP than the target cell.
+                lp = legal.reshape(total_planes, R, C)
+                moved = lp[env.no_move_limit:env.no_fight_limit].any(0)
+                forward = jnp.zeros((R, C), bool)
+                for d in range(6):
+                    m_nbr = moved[env.nbr_r[d], env.nbr_c[d]] & env.nbr_ok[d]
+                    d_nbr = my_dist[env.nbr_r[d], env.nbr_c[d]]
+                    forward = forward | (m_nbr & (d_nbr > my_dist))
+                target_score = jnp.where(forward, my_dist - 0.25, 1e7)
+                plane_scores = plane_scores.at[env.movement_limit].set(
+                    target_score
+                )
+                # no-fight: skip combat (wins when no forward enemy exists,
+                # because 1e7 > any reachable distance + 0.5).
+                for s in range(K):
+                    plane_scores = plane_scores.at[env.no_move_limit + s].set(
+                        my_dist + 0.5
+                    )
+
+                # -- choose attackers: adding an attacker always beats
+                # confirming; ties between attackers break randomly.
+                for s in range(K):
+                    plane_scores = plane_scores.at[env.target_limit + s].set(
+                        -10.0
+                    )
+                plane_scores = plane_scores.at[env.attackers_limit].set(10.0)
+
                 flat_scores = plane_scores.reshape(-1)
-                # Prefer LOW distance => use negative as logit, break ties
-                # randomly; non-movement actions score 0 (random among
-                # themselves).
+                # Prefer LOW score => negate as logit; uniform noise breaks
+                # ties (and makes placement uniform-random).
                 noise = jax.random.uniform(key, flat_scores.shape) * 0.01
                 score = jnp.where(legal, -flat_scores - noise, NEG_INF)
                 return jnp.argmax(score).astype(jnp.int32)

@@ -53,6 +53,10 @@ class LearnerConfig:
     nesterov: bool = False
     train_iterations: int = 2  # recurrent nets only
     prog_alpha: float = 0.0  # progressive loss mix; 0 = disabled
+    # Per-game-type recurrent iteration counts for multi-game-type runs
+    # (ref train_iterations is a list indexed by game type,
+    # ``AlphaZero.py:233-235,846-870``).  Empty = single type.
+    train_iterations_per_type: Tuple[int, ...] = ()
 
 
 class Learner:
@@ -115,7 +119,9 @@ class Learner:
 
     # -- loss -----------------------------------------------------------------
 
-    def _forward_loss(self, params, obs, policy_target, value_target, rng):
+    def _forward_loss(
+        self, params, obs, policy_target, value_target, rng, train_iters=None
+    ):
         cfg = self.config
         mgr = self.manager
 
@@ -135,7 +141,7 @@ class Learner:
             v_l, p_l, c_l = one_loss(p, v)
             return c_l, (v_l, p_l)
 
-        m = cfg.train_iterations
+        m = cfg.train_iterations if train_iters is None else train_iters
         alpha = cfg.prog_alpha
         v_l = p_l = c_l = 0.0
         if alpha != 1.0:
@@ -182,5 +188,52 @@ class Learner:
             "loss/policy": p_l,
             "loss/combined": c_l,
             "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    def train_step_multi(self, state: TrainState, batches, rng: jax.Array):
+        """One SGD update over per-game-type sub-batches, each forwarded at
+        its own recurrent iteration count (ref recurrent batch bucketing by
+        game index + per-type train_iterations,
+        ``AlphaZero.py:233-235,846-870``).  ``batches`` is a tuple of
+        (obs, policy_target, value_target, game_type) tuples, one per type;
+        the combined loss is the position-weighted mean across types."""
+        iters = self.config.train_iterations_per_type or tuple(
+            self.config.train_iterations for _ in batches
+        )
+
+        def loss_fn(params):
+            tot_c = tot_v = tot_p = 0.0
+            n = 0
+            per_type = {}
+            for t, (obs, pt, vt, _) in enumerate(batches):
+                k = jax.random.fold_in(rng, t)
+                c_l, (v_l, p_l) = self._forward_loss(
+                    params, obs, pt, vt, k, train_iters=iters[t]
+                )
+                b = obs.shape[0]
+                tot_c += c_l * b
+                tot_v += v_l * b
+                tot_p += p_l * b
+                n += b
+                per_type[f"loss/type{t}"] = c_l
+            return tot_c / n, (tot_v / n, tot_p / n, per_type)
+
+        (c_l, (v_l, p_l, per_type)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = {
+            "loss/value": v_l,
+            "loss/policy": p_l,
+            "loss/combined": c_l,
+            "grad_norm": optax.global_norm(grads),
+            **per_type,
         }
         return new_state, metrics

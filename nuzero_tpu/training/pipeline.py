@@ -40,10 +40,20 @@ from nuzero_tpu.training import replay as replay_lib
 from nuzero_tpu.training.selfplay import init_selfplay, make_selfplay_step
 from nuzero_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from nuzero_tpu.utils.metrics import MetricsJournal
+from nuzero_tpu.utils.profiling import PhaseTimers
 
 
-def learner_config_from_training(cfg: TrainingConfig) -> LearnerConfig:
+def learner_config_from_training(
+    cfg: TrainingConfig, num_game_types: int = 1
+) -> LearnerConfig:
+    ti = cfg.recurrent.train_iterations
+    per_type = (
+        tuple(ti[t] if t < len(ti) else ti[0] for t in range(num_game_types))
+        if num_game_types > 1
+        else ()
+    )
     return LearnerConfig(
+        train_iterations_per_type=per_type,
         policy_loss=cfg.learning.policy_loss,
         value_loss=cfg.learning.value_loss,
         normalize_policy=cfg.learning.normalize_cel,
@@ -79,8 +89,31 @@ class AlphaZero:
         XLA inserts the gradient all-reduce from the committed input
         shardings.  This replaces the reference's Ray cluster topology
         (Gamer actors spread over nodes + one learner,
-        ref ``Training/AlphaZero.py:525-577``) with one SPMD program."""
-        self.env = env
+        ref ``Training/AlphaZero.py:525-577``) with one SPMD program.
+
+        ``env`` may be a LIST of envs to train one network on several game
+        types at once (ref ``game_args_list`` + per-type Gamer pools,
+        ``AlphaZero.py:233-235,525-577``): each type gets its own lockstep
+        self-play batch and its own recurrent
+        ``train_iterations``/``pred_iterations`` entry; training draws one
+        sub-batch per type (the ref's recurrent game-index bucketing).  All
+        types must share observation/action shapes."""
+        envs = list(env) if isinstance(env, (list, tuple)) else [env]
+        base = envs[0]
+        for e in envs[1:]:
+            if (
+                tuple(e.observation_shape) != tuple(base.observation_shape)
+                or e.num_actions != base.num_actions
+            ):
+                raise ValueError(
+                    "all game types must share observation and action "
+                    "shapes (one network serves every type)"
+                )
+        self.envs = envs
+        # Eval/probe env (ref test_game_index knob).
+        self.env = envs[
+            min(train_config.testing.test_game_index, len(envs) - 1)
+        ]
         self.manager = manager
         self.cfg = train_config
         self.search_params = search_params
@@ -113,21 +146,22 @@ class AlphaZero:
                 "(see CacheConfig docstring); ignoring"
             )
 
-        self.learner = Learner(manager, learner_config_from_training(train_config))
-
-        pred_iters = train_config.recurrent.pred_iterations[0]
-
-        def net(variables, obs):
-            p, v, _ = manager.apply(variables, obs, iters_to_do=pred_iters)
-            return p, v
-
-        self._net = net
-        # donate the carried self-play state: its trajectory buffers are
-        # the largest live arrays and must not be double-buffered.
-        self.sp_step = jax.jit(
-            make_selfplay_step(env, net, search_params, training=True),
-            donate_argnums=(1,),
+        self.learner = Learner(
+            manager,
+            learner_config_from_training(train_config, len(envs)),
         )
+
+        pi = train_config.recurrent.pred_iterations
+
+        def make_net(pred_iters: int):
+            def net(variables, obs):
+                p, v, _ = manager.apply(
+                    variables, obs, iters_to_do=pred_iters
+                )
+                return p, v
+
+            return net
+
         # Early-fill exploration overrides (ref AlphaZero.py:385-387,503-517
         # + Running config early_* keys).
         early_params = dataclasses.replace(
@@ -136,14 +170,40 @@ class AlphaZero:
             epsilon_softmax_exploration=train_config.running.early_softmax_exploration,
             epsilon_random_exploration=train_config.running.early_random_exploration,
         )
-        self.sp_step_early = jax.jit(
-            make_selfplay_step(env, net, early_params, training=True),
-            donate_argnums=(1,),
+        # One self-play engine per game type, each at its own
+        # pred_iterations entry; the carried self-play state is donated
+        # (its trajectory buffers are the largest live arrays and must not
+        # be double-buffered).
+        self.sp_steps = []
+        self.sp_steps_early = []
+        for t, e in enumerate(envs):
+            net_t = make_net(pi[t] if t < len(pi) else pi[0])
+            self.sp_steps.append(
+                jax.jit(
+                    make_selfplay_step(
+                        e, net_t, search_params, training=True, game_type=t
+                    ),
+                    donate_argnums=(1,),
+                )
+            )
+            self.sp_steps_early.append(
+                jax.jit(
+                    make_selfplay_step(
+                        e, net_t, early_params, training=True, game_type=t
+                    ),
+                    donate_argnums=(1,),
+                )
+            )
+        self._net = make_net(
+            pi[min(train_config.testing.test_game_index, len(pi) - 1)]
         )
         self.tr_step = jax.jit(self.learner.train_step, donate_argnums=(0,))
+        self.tr_step_multi = jax.jit(
+            self.learner.train_step_multi, donate_argnums=(0,)
+        )
 
         def probe_values(params, obs):
-            _, v = net(params, obs)
+            _, v = self._net(params, obs)
             return v
 
         self._probe_values = jax.jit(probe_values)
@@ -153,8 +213,8 @@ class AlphaZero:
             static_argnums=(2,),
             static_argnames=("late_heavy", "with_replacement"),
         )
-        self.trajectory_length = (
-            train_config.running.max_trajectory_length or env.max_game_length
+        self.trajectory_length = train_config.running.max_trajectory_length or max(
+            e.max_game_length for e in envs
         )
 
         # In-loop evaluation vs RandomAgent, policy/mcts x both seats
@@ -191,21 +251,55 @@ class AlphaZero:
         self.buffer = replay_lib.create_buffer(
             train_config.learning.replay_window_size,
             self.trajectory_length,
-            env.observation_shape,
-            env.num_actions,
+            base.observation_shape,
+            base.num_actions,
         )
 
     # -- phases --------------------------------------------------------------
 
-    def _selfplay_until(self, state, sp, step_fn, target_games: int):
+    def _selfplay_until(self, state, sp, step_fn, target_games: int,
+                        progress=None):
         """Run lockstep move-batches until ``target_games`` finish."""
         done = 0
         stats = {}
         while done < target_games:
             sp, finished, stats = step_fn(state.params, sp)
             self.buffer = self.add_games(self.buffer, finished)
-            done += int(stats["finished"])
+            n = int(stats["finished"])
+            done += n
+            if progress is not None and n:
+                progress(n)
         return sp, done, stats
+
+    def _one_update(self, state, k_s, k_t, batch_size, *, late_heavy,
+                    with_replacement):
+        """One SGD update: a single mixed batch for one game type, or one
+        sub-batch per type forwarded at its own recurrent iteration count
+        (ref recurrent game-index bucketing, ``AlphaZero.py:846-870``)."""
+        T = len(self.envs)
+        if T == 1:
+            batch = self._sample(
+                self.buffer,
+                k_s,
+                batch_size,
+                late_heavy=late_heavy,
+                with_replacement=with_replacement,
+            )
+            return self.tr_step(state, batch, k_t)
+        batches = []
+        for t in range(T):
+            k_s, k_sub = jax.random.split(k_s)
+            batches.append(
+                self._sample(
+                    self.buffer,
+                    k_sub,
+                    batch_size // T,
+                    late_heavy=late_heavy,
+                    with_replacement=with_replacement,
+                    game_type=t,
+                )
+            )
+        return self.tr_step_multi(state, tuple(batches), k_t)
 
     def _train_once(self, state: TrainState, rng):
         cfg = self.cfg.learning
@@ -213,14 +307,11 @@ class AlphaZero:
         if cfg.learning_method == "samples":
             for _ in range(cfg.num_samples):
                 rng, k_s, k_t = jax.random.split(rng, 3)
-                batch = self._sample(
-                    self.buffer,
-                    k_s,
-                    cfg.batch_size,
+                state, metrics = self._one_update(
+                    state, k_s, k_t, cfg.batch_size,
                     late_heavy=cfg.late_heavy,
                     with_replacement=cfg.with_replacement,
                 )
-                state, metrics = self.tr_step(state, batch, k_t)
         elif cfg.learning_method == "epochs":
             n_positions = int(self.buffer.num_positions)
             if cfg.epochs_batch_size > n_positions:
@@ -234,13 +325,11 @@ class AlphaZero:
                     rng, k_s, k_t = jax.random.split(rng, 3)
                     # Sampling w/o replacement within the epoch approximates
                     # the reference's shuffle-and-slice sweep on device.
-                    batch = self._sample(
-                        self.buffer,
-                        k_s,
-                        cfg.epochs_batch_size,
+                    state, metrics = self._one_update(
+                        state, k_s, k_t, cfg.epochs_batch_size,
+                        late_heavy=False,
                         with_replacement=False,
                     )
-                    state, metrics = self.tr_step(state, batch, k_t)
         else:
             raise ValueError(f"bad learning_method {cfg.learning_method!r}")
         return state, rng, metrics
@@ -327,15 +416,20 @@ class AlphaZero:
     ) -> TrainState:
         cfg = self.cfg
         rng = jax.random.key(seed)
-        rng, k_init, k_sp = jax.random.split(rng, 3)
+        rng, k_init = jax.random.split(rng)
         state = initial_state or self.learner.init_state(k_init)
-        sp = init_selfplay(
-            self.env,
-            cfg.running.num_actors,
-            k_sp,
-            self.trajectory_length,
-            search_params=self.search_params,
-        )
+        sps = []
+        for t, e in enumerate(self.envs):
+            rng, k_sp = jax.random.split(rng)
+            sps.append(
+                init_selfplay(
+                    e,
+                    cfg.running.num_actors,
+                    k_sp,
+                    self.trajectory_length,
+                    search_params=self.search_params,
+                )
+            )
         if self.mesh is not None:
             # Commit the carried pytrees to their mesh shardings once; the
             # donated jitted steps preserve them for the whole run.
@@ -345,16 +439,30 @@ class AlphaZero:
             )
 
             state = place_replicated(state, self.mesh)
-            sp = place_batch_sharded(sp, self.mesh)
+            sps = [place_batch_sharded(sp, self.mesh) for sp in sps]
             self.buffer = place_batch_sharded(self.buffer, self.mesh)
 
         if cfg.running.early_fill_per_type > 0 and starting_step == 0:
+            from nuzero_tpu.utils.printbar import PrintBar
+
             t0 = time.time()
-            sp, n, _ = self._selfplay_until(
-                state, sp, self.sp_step_early, cfg.running.early_fill_per_type
+            total = 0
+            bar = PrintBar(
+                "early fill",
+                len(self.envs) * cfg.running.early_fill_per_type,
             )
+            for t in range(len(self.envs)):
+                sps[t], n, _ = self._selfplay_until(
+                    state,
+                    sps[t],
+                    self.sp_steps_early[t],
+                    cfg.running.early_fill_per_type,
+                    progress=bar.next,
+                )
+                total += n
+            bar.finish()
             print(
-                f"early fill: {n} games in {time.time() - t0:.1f}s "
+                f"early fill: {total} games in {time.time() - t0:.1f}s "
                 f"({int(self.buffer.num_positions)} positions)"
             )
 
@@ -370,31 +478,49 @@ class AlphaZero:
                 self.journal.append({"step": 0, **res})
 
         sequential = cfg.running.running_mode == "sequential"
+        T = len(self.envs)
+        timers = PhaseTimers()
+        # Optional jax.profiler capture of a few steady-state steps
+        # (SURVEY §5.1; the reference has no profiler at all).
+        trace_dir = os.environ.get("NUZERO_TRACE_DIR")
+        trace_at = starting_step + 2
         for step in range(starting_step + 1, cfg.running.training_steps + 1):
             t0 = time.time()
+            if trace_dir and step == trace_at:
+                jax.profiler.start_trace(trace_dir)
             if sequential:
-                sp, games, sp_stats = self._selfplay_until(
-                    state,
-                    sp,
-                    self.sp_step,
-                    cfg.running.num_games_per_type_per_step,
-                )
+                games = 0
+                with timers.phase("selfplay"):
+                    for t in range(T):
+                        sps[t], g, sp_stats = self._selfplay_until(
+                            state,
+                            sps[t],
+                            self.sp_steps[t],
+                            cfg.running.num_games_per_type_per_step,
+                        )
+                        games += g
             else:
                 # Asynchronous mode: actors play continuously; the learner
                 # rate is set by update_delay (ref wall-clock-decoupled mode,
                 # AlphaZero.py:389-404,468-469,1259-1266) — self-play
                 # move-batches keep running until update_delay seconds have
-                # elapsed since the last update (always at least one batch).
+                # elapsed since the last update (always at least one batch,
+                # round-robin over game types).
                 games = 0
-                while True:
-                    sp, finished, sp_stats = self.sp_step(state.params, sp)
-                    self.buffer = self.add_games(self.buffer, finished)
-                    games += int(sp_stats["finished"])
-                    if time.time() - t0 >= cfg.running.update_delay:
-                        break
+                with timers.phase("selfplay"):
+                    while True:
+                        for t in range(T):
+                            sps[t], finished, sp_stats = self.sp_steps[t](
+                                state.params, sps[t]
+                            )
+                            self.buffer = self.add_games(self.buffer, finished)
+                            games += int(sp_stats["finished"])
+                        if time.time() - t0 >= cfg.running.update_delay:
+                            break
 
             rng, k_t = jax.random.split(rng)
-            state, rng, tr_metrics = self._train_once(state, k_t)
+            with timers.phase("train"):
+                state, rng, tr_metrics = self._train_once(state, k_t)
 
             record = {
                 "step": step,
@@ -410,16 +536,23 @@ class AlphaZero:
                 "loss/policy": float(tr_metrics.get("loss/policy", np.nan)),
                 "loss/value": float(tr_metrics.get("loss/value", np.nan)),
                 "selfplay/root_value": float(sp_stats["root_value_mean"]),
+                "selfplay/tree_full_frac": float(
+                    sp_stats.get("tree_full_frac", 0.0)
+                ),
                 "step_time_s": time.time() - t0,
             }
+            for k, v in tr_metrics.items():
+                if k.startswith("loss/type"):
+                    record[k] = float(v)
 
-            if self.test_hook is not None:
-                freq = cfg.testing.policy_test_frequency
-                if freq and step % freq == 0:
-                    record.update(self.test_hook(state, step) or {})
-            else:
-                record.update(self._run_inloop_tests(state, step))
-            self._harvest_async_tests()
+            with timers.phase("eval"):
+                if self.test_hook is not None:
+                    freq = cfg.testing.policy_test_frequency
+                    if freq and step % freq == 0:
+                        record.update(self.test_hook(state, step) or {})
+                else:
+                    record.update(self._run_inloop_tests(state, step))
+                self._harvest_async_tests()
 
             if (
                 self.state_set is not None
@@ -432,20 +565,24 @@ class AlphaZero:
                     {f"value_probe/{i}": float(v) for i, v in enumerate(values)}
                 )
 
+            record.update(timers.metrics())
             self.journal.append(record)
+            if trace_dir and step == trace_at:
+                jax.profiler.stop_trace()
 
             if self.run_dir and step % cfg.saving.save_frequency == 0:
-                tree = {
-                    "params": state.params,
-                    "opt_state": state.opt_state,
-                    "step": state.step,
-                    "rng": jax.random.key_data(rng),
-                }
-                if cfg.saving.save_buffer:
-                    tree["buffer"] = self.buffer
-                save_checkpoint(
-                    os.path.join(self.run_dir, "checkpoints"), step, tree
-                )
+                with timers.phase("checkpoint"):
+                    tree = {
+                        "params": state.params,
+                        "opt_state": state.opt_state,
+                        "step": state.step,
+                        "rng": jax.random.key_data(rng),
+                    }
+                    if cfg.saving.save_buffer:
+                        tree["buffer"] = self.buffer
+                    save_checkpoint(
+                        os.path.join(self.run_dir, "checkpoints"), step, tree
+                    )
 
         self._harvest_async_tests(block=True)
         return state

@@ -172,14 +172,21 @@ def sample(
     *,
     late_heavy: bool = False,
     with_replacement: bool = True,
+    game_type=None,
 ):
     """Draw a training batch of positions.
 
     Returns (obs [B, C, H, W], policy [B, A], value [B], game_type [B]).
     Without replacement uses Gumbel top-k over the flat weight table.
+    ``game_type`` restricts the draw to one game type's positions (the
+    reference buckets recurrent batches by game index,
+    ``AlphaZero.py:846-870``; here each type gets its own sub-batch).
     """
     G, L = buffer.value.shape
-    w = position_weights(buffer, late_heavy).reshape(-1)
+    w = position_weights(buffer, late_heavy)
+    if game_type is not None:
+        w = w * (buffer.game_type == game_type)[:, None]
+    w = w.reshape(-1)
     logw = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)), -jnp.inf)
     if with_replacement:
         flat = jax.random.categorical(rng, logw, shape=(batch_size,))

@@ -72,7 +72,7 @@ def init_selfplay(
 
         _, _, state_dim = make_packer(env.init(jax.random.key(0)))
         num_nodes = search_params.tree_capacity or (
-            2 * search_params.num_simulations + 2
+            2 * search_params.num_simulations + 4
         )
         tree = jax.vmap(lambda _: init_tree(env.num_actions, num_nodes, state_dim))(
             jnp.arange(batch_size)
@@ -96,10 +96,13 @@ def make_selfplay_step(
     apply_fn: Callable,
     search_params: SearchParams,
     training: bool = True,
+    game_type: int = 0,
 ):
     """Build ``step(variables, sp) -> (sp, FinishedGames, stats)``.
 
     One call = one move in every live game.  Jit at the call site.
+    ``game_type`` tags emitted games for multi-game-type runs (ref per-type
+    Gamer pools, ``AlphaZero.py:525-577``).
     """
     search_fresh = make_search_fn(env, apply_fn, search_params, training)
     search_carry = make_search_fn(
@@ -139,7 +142,7 @@ def make_selfplay_step(
             policy=policy_buf,
             final_value=jax.vmap(env.terminal_value)(stepped),
             length=sp.move_count + 1,
-            game_type=jnp.zeros(B, jnp.int32),
+            game_type=jnp.full(B, game_type, jnp.int32),
             mask=done,
         )
 
@@ -158,15 +161,27 @@ def make_selfplay_step(
         # Re-root the carried trees at the played actions; recycled games
         # and actions without a materialized child restart from a fresh
         # tree next move (ref Gamer.py:78-79 keep_subtree root swap).
+        # Documented deviation: the reference expands ALL legal children at
+        # expansion, so its keep_subtree always finds the chosen child
+        # (possibly zero-visit); here children materialize lazily, so an
+        # epsilon-random pick of an unvisited action costs one fresh tree —
+        # rare (epsilon ~1e-3) and only an exploration-efficiency nit.
         tree_valid = None
         if reuse:
             tree, ok = jax.vmap(reroot)(tree, res.action)
             tree_valid = ok & ~recycle
 
+        tree_cap = search_params.tree_capacity or (
+            2 * search_params.num_simulations + 4
+        )
         stats = {
             "finished": done.sum(),
             "root_value_mean": res.root_value.mean(),
             "tree_nodes_mean": res.tree_nodes.mean(),
+            # Fraction of games whose node budget bound this move (the
+            # search then stops expanding — surfaced so a binding cap is
+            # never silent; raise SearchParams.tree_capacity if > 0).
+            "tree_full_frac": (res.tree_nodes >= tree_cap).mean(),
             "exploration_bias_mean": res.exploration_bias.mean(),
         }
         new_sp = SelfplayState(
