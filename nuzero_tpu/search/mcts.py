@@ -71,10 +71,12 @@ class SearchParams:
     root_dist_alpha: float = 0.15
     root_dist_beta: float = 1.0
     # Node budget for trees carried across moves (keep_subtree).  0 = auto:
-    # 2*num_simulations + 2, enough for a retained subtree plus one search's
-    # new allocations.  Unlike the reference's unbounded Python trees, the
+    # 2*num_simulations + 4, enough for a retained subtree plus one search's
+    # new allocations (carried roots run one extra simulation — see
+    # make_search_fn).  Unlike the reference's unbounded Python trees, the
     # array tree is a fixed budget: when full, simulations stop expanding
-    # and re-contribute leaf evaluations (documented deviation).
+    # and re-contribute leaf evaluations (documented deviation; the search
+    # warns through SearchResults.tree_nodes when the cap binds).
     tree_capacity: int = 0
 
 
@@ -167,7 +169,12 @@ def _descend(tree: Tree, params: SearchParams, depth_cap: int):
 
 
 def _backprop_path(
-    tree: Tree, path: jax.Array, leaf: jax.Array, value: jax.Array, fresh: jax.Array
+    tree: Tree,
+    path: jax.Array,
+    leaf: jax.Array,
+    value: jax.Array,
+    fresh: jax.Array,
+    active: jax.Array,
 ) -> Tree:
     """Add ``value`` and a visit to every node on the recorded root->stop
     path plus a freshly-allocated leaf (ref Explorer.py:132-135, absolute
@@ -175,10 +182,12 @@ def _backprop_path(
 
     When no node was allocated the stop node is already the last path
     entry, so the leaf slot is pointed out of bounds to avoid double
-    counting."""
+    counting.  ``active=False`` drops the whole simulation (used to give
+    carried roots their extra masked simulation)."""
     num_nodes = tree.visit.shape[0]
     extra = jnp.where(fresh, leaf, jnp.int32(num_nodes))
     nodes = jnp.concatenate([path, extra[None]])
+    nodes = jnp.where(active, nodes, num_nodes)
     # Dense one-hot accumulation: out-of-range sentinel rows vanish, and the
     # [P+1, N] reduction is a lane-parallel VPU op — measured faster than a
     # scatter-add on TPU for these path lengths.
@@ -214,7 +223,7 @@ def make_search_fn(
     """
     A = env.num_actions
     if with_tree:
-        num_nodes = params.tree_capacity or (2 * params.num_simulations + 2)
+        num_nodes = params.tree_capacity or (2 * params.num_simulations + 4)
     else:
         num_nodes = params.num_simulations + 1
     depth_cap = min(num_nodes - 1, env.max_game_length) + 1
@@ -277,9 +286,12 @@ def make_search_fn(
 
             tree = jax.tree.map(sel, tree, fresh_tree)
             if training:
-                # The reference adds fresh root noise at every run_mcts even
-                # on a reused root (Explorer.py:46,201-210) — noise
-                # compounds on the stored priors across moves.
+                # Noise the reused root's stored priors once, now that it
+                # has become root — matching Explorer.py's
+                # add_exploration_noise on an already-expanded root
+                # (Explorer.py:46,201-210).  Each node becomes root at most
+                # once (the keep_subtree swap advances every move), so no
+                # compounding occurs in either implementation.
                 rng, sub = jax.random.split(rng)
                 noise = (
                     jax.random.gamma(sub, params.root_dist_alpha, (B, A))
@@ -298,14 +310,31 @@ def make_search_fn(
         else:
             tree = fresh_tree
 
-        # --- Remaining num_simulations - 1 descents.
-        def sim_body(_, tree):
+        # --- Remaining descents.  Fresh roots already spent their first
+        # simulation on the root evaluation above, so they run
+        # num_simulations - 1 more; carried roots were expanded on an
+        # EARLIER move, so — like the reference, which always runs all
+        # num_simulations descents on an already-expanded root
+        # (Explorer.py:49-58) — they get one extra masked iteration.
+        if with_tree and carried is not None:
+            extra_active = carried
+            n_iters = params.num_simulations
+        else:
+            extra_active = jnp.zeros((B,), bool)
+            n_iters = params.num_simulations - 1
+
+        def sim_body(i, tree):
+            active = jnp.where(
+                i < params.num_simulations - 1,
+                jnp.ones((B,), bool),
+                extra_active,
+            )
             stop_node, action, needs_alloc, path = jax.vmap(
                 lambda t: _descend(t, params, depth_cap)
             )(tree)
             # Full trees (possible only with carried subtrees) stop
             # expanding and just re-contribute the stop node's evaluation.
-            needs_alloc = needs_alloc & (tree.next_free < num_nodes)
+            needs_alloc = needs_alloc & active & (tree.next_free < num_nodes)
 
             # Allocate (masked): step the stop node's stored state once.
             stop_state = jax.vmap(lambda t, i: unpack(t.states[i]))(
@@ -384,10 +413,12 @@ def make_search_fn(
                 jax.vmap(lambda t, i: t.terminal_value[i])(tree, leaf),
                 value,
             )
-            tree = jax.vmap(_backprop_path)(tree, path, leaf, value, needs_alloc)
+            tree = jax.vmap(_backprop_path)(
+                tree, path, leaf, value, needs_alloc, active
+            )
             return tree
 
-        tree = jax.lax.fori_loop(0, params.num_simulations - 1, sim_body, tree)
+        tree = jax.lax.fori_loop(0, n_iters, sim_body, tree)
 
         # --- Policy target: normalized root-child visit counts
         # (ref tic_tac_toe.py:177-182 store_search_statistics).

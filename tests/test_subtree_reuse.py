@@ -126,9 +126,11 @@ def test_carried_search_accumulates_visits():
         None, stepped, zeros + 1, jax.random.key(1), tree2, ok
     )
     carried_visits = tree2.visit[:, 0]
-    # Root visits = carried + (num_simulations - 1) new descents.
+    # Carried roots run all num_simulations descents, like the reference's
+    # run_mcts on an already-expanded root (Explorer.py:49-58) — fresh
+    # roots spend their first simulation on the root evaluation instead.
     assert (np.asarray(res2.root_visits)
-            == np.asarray(carried_visits) + params.num_simulations - 1).all()
+            == np.asarray(carried_visits) + params.num_simulations).all()
 
 
 def test_selfplay_with_reuse_runs_and_stays_bounded():
@@ -138,7 +140,7 @@ def test_selfplay_with_reuse_runs_and_stays_bounded():
     step = jax.jit(make_selfplay_step(ENV, uniform_net, params))
     sp = init_selfplay(ENV, 8, jax.random.key(3), search_params=params)
     assert sp.tree is not None
-    cap = 2 * params.num_simulations + 2
+    cap = 2 * params.num_simulations + 4
     finished_total = 0
     for _ in range(25):
         sp, finished, stats = step(None, sp)
