@@ -69,11 +69,24 @@ def plot_training_run(
         if xs:
             ax.plot(xs, ys, marker="o", markersize=3, label=key[3:])
             any_wr = True
+    # Non-loss curves (win+draw) — the BASELINE milestone metric
+    # (">=95% non-loss vs random").
+    for key in sorted(
+        {k for r in records for k in r if k.startswith("nonloss/")}
+    ):
+        xs, ys = _series(records, key)
+        if xs:
+            ax.plot(
+                xs, ys, linestyle="--", linewidth=1,
+                label=f"nonloss {key[8:]}",
+            )
+            any_wr = True
     if any_wr:
+        ax.axhline(0.95, color="gray", linewidth=0.8, linestyle=":")
         ax.set_xlabel("training step")
-        ax.set_ylabel("win rate vs random")
+        ax.set_ylabel("win / non-loss rate vs random")
         ax.set_ylim(0, 1.05)
-        ax.legend()
+        ax.legend(fontsize=7)
         path = os.path.join(out_dir, "win_rates.png")
         fig.savefig(path, dpi=100)
         written.append(path)
