@@ -19,7 +19,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from nuzero_tpu.ops.hexconv import hex_conv, hex_conv_depthwise
+from nuzero_tpu.ops.hexconv import (
+    hex_conv_depthwise,
+    hex_conv_dispatch,
+)
 
 
 def _ramp(start: int, end: int, num_layers: int) -> Sequence[int]:
@@ -54,9 +57,9 @@ class HexConv(nn.Module):
             (7, in_features, self.features),
             self.dtype,
         )
-        return hex_conv(
-            x.astype(self.dtype), w, data_format="NHWC", precision=None
-        )
+        # Backend chosen by measurement (see ops/hexconv.py docnotes +
+        # bench_hexconv.py); override with NUZERO_HEXCONV_BACKEND.
+        return hex_conv_dispatch(x.astype(self.dtype), w)
 
 
 class Conv(nn.Module):

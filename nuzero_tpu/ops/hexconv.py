@@ -133,6 +133,55 @@ def hex_conv(
     return jnp.where(col_is_odd.reshape(shape), y_odd, y_even).astype(x.dtype)
 
 
+#: Active backend for the model-zoo hex convolutions ("xla" = parity-masked
+#: dual 3x3 conv below; "pallas" = the fused single-pass kernel in
+#: ops/pallas/hexconv_kernel.py; "auto" = pick per shape).  Measured on the
+#: TPU v5e bench chip (benchmarks/hexconv_bench.py, 2026-08-20, 50-rep
+#: steady state):
+#:   B256  5x5   64f: xla 615us  pallas 721us  -> xla
+#:   B1024 5x5   64f: xla 643us  pallas 677us  -> xla
+#:   B256  10x10 64f: xla 1004us pallas 701us  -> pallas (1.43x)
+#:   B256  10x10 96f: xla 789us  pallas 653us  -> pallas (1.21x)
+#:   B64   30x30 64f: xla 1320us pallas 925us  -> pallas (1.43x)
+#: The fused kernel's 2.6x FLOP cut wins once the board has enough pixels
+#: to amortize its per-board tap gather; at 5x5 XLA's dual conv (epilogue-
+#: fused parity select) is already dispatch-bound.  "auto" (default)
+#: applies that crossover: pallas on TPU when H*W >= 100, else xla.
+#: Override with NUZERO_HEXCONV_BACKEND or set_hexconv_backend().
+import os as _os
+
+_HEXCONV_BACKEND = _os.environ.get("NUZERO_HEXCONV_BACKEND", "auto")
+_PALLAS_MIN_PIXELS = 100  # measured crossover (see table above)
+
+
+def set_hexconv_backend(name: str) -> None:
+    global _HEXCONV_BACKEND
+    if name not in ("xla", "pallas", "auto"):
+        raise ValueError(f"unknown hexconv backend {name!r}")
+    _HEXCONV_BACKEND = name
+
+
+def get_hexconv_backend() -> str:
+    return _HEXCONV_BACKEND
+
+
+def hex_conv_dispatch(x: jax.Array, weights: jax.Array) -> jax.Array:
+    """NHWC hex conv through the active backend (HexConv's entry point).
+
+    The Pallas kernel only lowers on TPU; other platforms always take the
+    XLA path so tests and CPU meshes behave identically.
+    """
+    backend = _HEXCONV_BACKEND
+    if backend == "auto":
+        H, W = x.shape[1], x.shape[2]
+        backend = "pallas" if H * W >= _PALLAS_MIN_PIXELS else "xla"
+    if backend == "pallas" and jax.default_backend() == "tpu":
+        from nuzero_tpu.ops.pallas.hexconv_kernel import hex_conv_pallas
+
+        return hex_conv_pallas(x, weights)
+    return hex_conv(x, weights, data_format="NHWC", precision=None)
+
+
 def hex_conv_depthwise(
     x: jax.Array,
     weights: jax.Array,
