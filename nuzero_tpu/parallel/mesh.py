@@ -84,12 +84,14 @@ def make_sharded_superstep(env, manager, learner, search_params, *,
     """
     from nuzero_tpu.training import replay as replay_lib
     from nuzero_tpu.training.selfplay import make_selfplay_step
+    from nuzero_tpu.utils.packing import make_packer
 
     def net(variables, obs):
         p, v, _ = manager.apply(variables, obs, iters_to_do=pred_iters)
         return p, v
 
     sp_step = make_selfplay_step(env, net, search_params, training=True)
+    _, unpack, state_dim = make_packer(env.init(jax.random.key(0)))
 
     def placement(state, sp, buffer):
         return (
@@ -102,8 +104,11 @@ def make_sharded_superstep(env, manager, learner, search_params, *,
         rng, k_s, k_t = jax.random.split(rng, 3)
         sp, finished, sp_stats = sp_step(state.params, sp)
         buffer = replay_lib.add_games(buffer, finished)
-        batch = replay_lib.sample(buffer, k_s, train_batch)
-        state, metrics = learner.train_step(state, batch, k_t)
+        enc, pol, val, gt = replay_lib.sample(buffer, k_s, train_batch)
+        # Regenerate observations from the sampled packed states (the
+        # buffer stores states, not observations — replay.py docstring).
+        obs = jax.vmap(lambda v: env.observe(unpack(v[:state_dim])))(enc)
+        state, metrics = learner.train_step(state, (obs, pol, val, gt), k_t)
         metrics.update(sp_stats)
         return state, sp, buffer, rng, metrics
 

@@ -208,11 +208,39 @@ class AlphaZero:
 
         self._probe_values = jax.jit(probe_values)
         self.add_games = jax.jit(replay_lib.add_games, donate_argnums=(0,))
-        self._sample = jax.jit(
-            replay_lib.sample,
-            static_argnums=(2,),
-            static_argnames=("late_heavy", "with_replacement"),
-        )
+        # The buffer stores packed env states (see replay.py docstring);
+        # each game type's sampler regenerates observations from the drawn
+        # positions with ITS env's observe (types may pack to different
+        # widths — rows are padded to the max).
+        from nuzero_tpu.utils.packing import make_packer
+
+        self._packers = [make_packer(e.init(jax.random.key(0))) for e in envs]
+        self.state_dim = max(d for _, _, d in self._packers)
+
+        def make_sampler(env_t, unpack_t, dim_t):
+            def sample_obs(buffer, rng, batch_size, *, late_heavy,
+                           with_replacement, game_type=None):
+                enc, pol, val, gt = replay_lib.sample(
+                    buffer, rng, batch_size,
+                    late_heavy=late_heavy,
+                    with_replacement=with_replacement,
+                    game_type=game_type,
+                )
+                obs = jax.vmap(lambda v: env_t.observe(unpack_t(v[:dim_t])))(
+                    enc
+                )
+                return obs, pol, val, gt
+
+            return jax.jit(
+                sample_obs,
+                static_argnums=(2,),
+                static_argnames=("late_heavy", "with_replacement"),
+            )
+
+        self._samplers = [
+            make_sampler(e, up, d)
+            for e, (_, up, d) in zip(envs, self._packers)
+        ]
         self.trajectory_length = train_config.running.max_trajectory_length or max(
             e.max_game_length for e in envs
         )
@@ -251,7 +279,7 @@ class AlphaZero:
         self.buffer = replay_lib.create_buffer(
             train_config.learning.replay_window_size,
             self.trajectory_length,
-            base.observation_shape,
+            self.state_dim,
             base.num_actions,
         )
 
@@ -278,7 +306,7 @@ class AlphaZero:
         (ref recurrent game-index bucketing, ``AlphaZero.py:846-870``)."""
         T = len(self.envs)
         if T == 1:
-            batch = self._sample(
+            batch = self._samplers[0](
                 self.buffer,
                 k_s,
                 batch_size,
@@ -290,7 +318,7 @@ class AlphaZero:
         for t in range(T):
             k_s, k_sub = jax.random.split(k_s)
             batches.append(
-                self._sample(
+                self._samplers[t](
                     self.buffer,
                     k_sub,
                     batch_size // T,
@@ -428,6 +456,7 @@ class AlphaZero:
                     k_sp,
                     self.trajectory_length,
                     search_params=self.search_params,
+                    state_dim=self.state_dim,
                 )
             )
         if self.mesh is not None:

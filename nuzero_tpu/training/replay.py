@@ -13,14 +13,23 @@ ring slots in one ``.at[].set``; sampling flattens (slot, position) into one
 categorical draw.  Everything jits; the buffer lives in HBM and can be
 sharded over hosts on its game axis.
 
+Positions are stored as PACKED ENV STATES (``utils.packing`` f32 vectors),
+not observation tensors: the SCS observation is ~11x larger than the state
+that generates it, and at self-play batch sizes of thousands of games the
+observation buffers alone exceed HBM (measured: f32[1024, 622, 2150] = 5.2
+GB for one 5x5 scenario).  Samplers regenerate observations from the
+sampled positions only (``env.observe`` on a few thousand states per
+update) — the standard TPU recompute-over-store trade: HBM capacity and
+bandwidth are the scarce resource, `observe` is a handful of gathers.
+(The reference stores full state tensors per position,
+``ReplayBuffer.py:24-36`` — fine for host RAM, wrong for HBM.)
+
 Value targets are the game's static terminal value broadcast over its
 positions (ref ``tic_tac_toe.py:184-190`` ``make_target`` — no per-player
 sign flip).
 """
 
 from __future__ import annotations
-
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +40,7 @@ from flax import struct
 class FinishedGames:
     """A batch of completed games emitted by one self-play step."""
 
-    obs: jax.Array  # f32[B, L, C*H*W] (flat; see SelfplayState.obs_buf)
+    states: jax.Array  # f32[B, L, D] packed env states (utils.packing)
     policy: jax.Array  # f32[B, L, A]
     final_value: jax.Array  # f32[B] static terminal value
     length: jax.Array  # i32[B] positions recorded
@@ -41,8 +50,7 @@ class FinishedGames:
 
 @struct.dataclass
 class ReplayBuffer:
-    obs: jax.Array  # f32[G, L, C*H*W] (flat storage; reshaped at sample)
-    obs_shape: Tuple[int, ...] = struct.field(pytree_node=False)
+    states: jax.Array  # f32[G, L, D] packed env states
     policy: jax.Array  # f32[G, L, A]
     value: jax.Array  # f32[G, L]
     length: jax.Array  # i32[G] 0 = empty slot
@@ -67,16 +75,14 @@ class ReplayBuffer:
 def create_buffer(
     capacity_games: int,
     max_game_length: int,
-    obs_shape: Tuple[int, ...],
+    state_dim: int,
     num_actions: int,
 ) -> ReplayBuffer:
+    """``state_dim``: width of the packed-state vectors (the max across
+    game types when several envs share the buffer)."""
     G, L = capacity_games, max_game_length
-    obs_flat = 1
-    for d in obs_shape:
-        obs_flat *= d
     return ReplayBuffer(
-        obs=jnp.zeros((G, L, obs_flat), jnp.float32),
-        obs_shape=tuple(obs_shape),
+        states=jnp.zeros((G, L, state_dim), jnp.float32),
         policy=jnp.zeros((G, L, num_actions), jnp.float32),
         value=jnp.zeros((G, L), jnp.float32),
         length=jnp.zeros(G, jnp.int32),
@@ -100,7 +106,7 @@ def add_games(buffer: ReplayBuffer, finished: FinishedGames) -> ReplayBuffer:
     slot = jnp.where(m, slot, G)  # OOB -> dropped
     seq = jnp.where(m, buffer.games_added + offset, 0)
 
-    L = buffer.obs.shape[1]
+    L = buffer.states.shape[1]
     pos_valid = (
         jnp.arange(L)[None, :] < finished.length[:, None]
     )  # bool[B, L]
@@ -108,7 +114,7 @@ def add_games(buffer: ReplayBuffer, finished: FinishedGames) -> ReplayBuffer:
 
     n_new = m.sum().astype(jnp.int32)
     return buffer.replace(
-        obs=buffer.obs.at[slot].set(finished.obs, mode="drop"),
+        states=buffer.states.at[slot].set(finished.states, mode="drop"),
         policy=buffer.policy.at[slot].set(finished.policy, mode="drop"),
         value=buffer.value.at[slot].set(value, mode="drop"),
         length=buffer.length.at[slot].set(finished.length, mode="drop"),
@@ -176,7 +182,10 @@ def sample(
 ):
     """Draw a training batch of positions.
 
-    Returns (obs [B, C, H, W], policy [B, A], value [B], game_type [B]).
+    Returns (states [B, D] packed, policy [B, A], value [B],
+    game_type [B]).  The caller materializes observations from the packed
+    states (``env.observe`` over the unpacked batch) — see the module
+    docstring for why observations are not stored.
     Without replacement uses Gumbel top-k over the flat weight table.
     ``game_type`` restricts the draw to one game type's positions (the
     reference buckets recurrent batches by game index,
@@ -194,9 +203,8 @@ def sample(
         g = jax.random.gumbel(rng, logw.shape)
         _, flat = jax.lax.top_k(logw + g, batch_size)
     gi, pi = flat // L, flat % L
-    obs = buffer.obs[gi, pi].reshape((batch_size,) + buffer.obs_shape)
     return (
-        obs,
+        buffer.states[gi, pi],
         buffer.policy[gi, pi],
         buffer.value[gi, pi],
         buffer.game_type[gi],

@@ -30,8 +30,10 @@ from nuzero_tpu.training.replay import FinishedGames
 @struct.dataclass
 class SelfplayState:
     games: Any  # EnvState batch [B]
-    obs_buf: jax.Array  # f32[B, L, C*H*W] positions so far (flattened:
-    # trailing (H, W) dims would tile-pad ~50x on TPU for small boards)
+    state_buf: jax.Array  # f32[B, L, D] PACKED env states per position
+    # (utils.packing) — ~11x smaller than observation tensors for SCS;
+    # observations are regenerated from the sampled positions at training
+    # time (see replay.py module docstring for the measured HBM numbers)
     policy_buf: jax.Array  # f32[B, L, A] search policy targets
     move_count: jax.Array  # i32[B] moves played in current game
     rng: jax.Array
@@ -49,6 +51,7 @@ def init_selfplay(
     rng: jax.Array,
     trajectory_capacity: int = 0,
     search_params: SearchParams | None = None,
+    state_dim: int = 0,
 ) -> SelfplayState:
     """``trajectory_capacity`` bounds stored moves per game (0 = the env's
     hard ``max_game_length``); games that overrun are discarded and reset
@@ -58,29 +61,31 @@ def init_selfplay(
     Pass ``search_params`` with ``keep_subtree=True`` to allocate the
     carried search trees enabling subtree reuse across moves (ref
     ``Training/Gamer.py:78-79``); without it each move searches a fresh
-    tree."""
+    tree.
+
+    ``state_dim`` widens the packed-state rows beyond this env's own
+    packed width (0 = exactly this env's) so several game types can share
+    one replay buffer."""
+    from nuzero_tpu.utils.packing import make_packer
+
     rng, sub = jax.random.split(rng)
     games = jax.vmap(env.init)(jax.random.split(sub, batch_size))
     L = trajectory_capacity or env.max_game_length
-    obs_flat = 1
-    for d in env.observation_shape:
-        obs_flat *= d
+    _, _, env_dim = make_packer(env.init(jax.random.key(0)))
+    D = max(state_dim, env_dim)
     tree = None
     tree_valid = None
     if search_params is not None and search_params.keep_subtree:
-        from nuzero_tpu.utils.packing import make_packer
-
-        _, _, state_dim = make_packer(env.init(jax.random.key(0)))
         num_nodes = search_params.tree_capacity or (
             2 * search_params.num_simulations + 4
         )
-        tree = jax.vmap(lambda _: init_tree(env.num_actions, num_nodes, state_dim))(
+        tree = jax.vmap(lambda _: init_tree(env.num_actions, num_nodes, env_dim))(
             jnp.arange(batch_size)
         )
         tree_valid = jnp.zeros(batch_size, bool)
     return SelfplayState(
         games=games,
-        obs_buf=jnp.zeros((batch_size, L, obs_flat), jnp.float32),
+        state_buf=jnp.zeros((batch_size, L, D), jnp.float32),
         policy_buf=jnp.zeros((batch_size, L, env.num_actions), jnp.float32),
         move_count=jnp.zeros(batch_size, jnp.int32),
         rng=rng,
@@ -104,6 +109,10 @@ def make_selfplay_step(
     ``game_type`` tags emitted games for multi-game-type runs (ref per-type
     Gamer pools, ``AlphaZero.py:525-577``).
     """
+    from nuzero_tpu.utils.packing import make_packer
+
+    pack, _, env_dim = make_packer(env.init(jax.random.key(0)))
+
     search_fresh = make_search_fn(env, apply_fn, search_params, training)
     search_carry = make_search_fn(
         env, apply_fn, search_params, training, with_tree=True
@@ -123,22 +132,26 @@ def make_selfplay_step(
             res = search_fresh(variables, sp.games, sp.move_count, k_search)
             tree = None
 
-        # Record the pre-move position + its search policy
+        # Record the pre-move position (packed state, not observation —
+        # see SelfplayState.state_buf) + its search policy
         # (ref Gamer.py:65-66,74-77 store_state/store_search_statistics).
-        obs = jax.vmap(env.observe)(sp.games).reshape(B, -1)
+        enc = jax.vmap(pack)(sp.games)
+        D = sp.state_buf.shape[2]
+        if D > env_dim:
+            enc = jnp.pad(enc, ((0, 0), (0, D - env_dim)))
         bidx = jnp.arange(B)
-        obs_buf = sp.obs_buf.at[bidx, sp.move_count].set(obs)
+        state_buf = sp.state_buf.at[bidx, sp.move_count].set(enc)
         policy_buf = sp.policy_buf.at[bidx, sp.move_count].set(
             res.policy_target
         )
 
         stepped = jax.vmap(env.step)(sp.games, res.action)
         done = jax.vmap(env.terminal)(stepped)
-        L = sp.obs_buf.shape[1]
+        L = sp.state_buf.shape[1]
         overflow = (~done) & (sp.move_count + 1 >= L)
 
         finished = FinishedGames(
-            obs=obs_buf,
+            states=state_buf,
             policy=policy_buf,
             final_value=jax.vmap(env.terminal_value)(stepped),
             length=sp.move_count + 1,
@@ -186,7 +199,7 @@ def make_selfplay_step(
         }
         new_sp = SelfplayState(
             games=games,
-            obs_buf=obs_buf,
+            state_buf=state_buf,
             policy_buf=policy_buf,
             move_count=move_count,
             rng=rng,

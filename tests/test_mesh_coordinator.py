@@ -80,8 +80,8 @@ def test_mesh_coordinator_trains_checkpoints_and_resumes(tmp_path):
     # Shardings: params replicated, replay game axis dp-sharded.
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_equivalent_to(replicate(mesh), leaf.ndim)
-    assert az.buffer.obs.sharding.is_equivalent_to(
-        shard_batch(mesh), az.buffer.obs.ndim
+    assert az.buffer.states.sharding.is_equivalent_to(
+        shard_batch(mesh), az.buffer.states.ndim
     )
 
     # Resume from the step-2 checkpoint on the same mesh and keep training.

@@ -13,7 +13,7 @@ from nuzero_tpu.training.replay import (
     truncate_to_seq,
 )
 
-OBS = (2, 3, 3)
+D = 18  # packed-state row width (opaque to the buffer)
 A = 9
 L = 9
 
@@ -21,18 +21,18 @@ L = 9
 def _finished(n, start_val=0.0, length=5, mask=None, batch=None):
     """Build a FinishedGames batch of `n` real games (batch rows >= n)."""
     b = batch or n
-    obs = np.zeros((b, L, int(np.prod(OBS))), np.float32)  # flat storage
+    enc = np.zeros((b, L, D), np.float32)  # packed-state rows
     pol = np.zeros((b, L, A), np.float32)
     for i in range(b):
-        obs[i, :, 0] = start_val + i  # tag games for identification
-        obs[i, :, 1] = np.arange(L)  # tag positions within the game
+        enc[i, :, 0] = start_val + i  # tag games for identification
+        enc[i, :, 1] = np.arange(L)  # tag positions within the game
         pol[i, :, i % A] = 1.0
     m = np.zeros(b, bool)
     m[:n] = True
     if mask is not None:
         m = np.asarray(mask)
     return FinishedGames(
-        obs=jnp.asarray(obs),
+        states=jnp.asarray(enc),
         policy=jnp.asarray(pol),
         final_value=jnp.full((b,), 1.0) * (start_val + jnp.arange(b)),
         length=jnp.full((b,), length, jnp.int32),
@@ -42,7 +42,7 @@ def _finished(n, start_val=0.0, length=5, mask=None, batch=None):
 
 
 def test_add_and_counts():
-    buf = create_buffer(4, L, OBS, A)
+    buf = create_buffer(4, L, D, A)
     buf = add_games(buf, _finished(2))
     assert int(buf.num_games) == 2
     assert int(buf.num_positions) == 10
@@ -50,26 +50,26 @@ def test_add_and_counts():
 
 
 def test_masked_rows_dropped():
-    buf = create_buffer(4, L, OBS, A)
+    buf = create_buffer(4, L, D, A)
     fin = _finished(1, batch=3, mask=[False, True, False])
     buf = add_games(buf, fin)
     assert int(buf.num_games) == 1
     # The surviving game is row 1 (tag value 1.0).
-    assert float(buf.obs[0, 0, 0]) == 1.0
+    assert float(buf.states[0, 0, 0]) == 1.0
 
 
 def test_ring_overwrites_oldest():
-    buf = create_buffer(3, L, OBS, A)
+    buf = create_buffer(3, L, D, A)
     buf = add_games(buf, _finished(3, start_val=0))
     buf = add_games(buf, _finished(2, start_val=100))
     assert int(buf.games_added) == 5
     assert int(buf.num_games) == 3
-    tags = sorted(float(buf.obs[g, 0, 0]) for g in range(3))
+    tags = sorted(float(buf.states[g, 0, 0]) for g in range(3))
     assert tags == [2.0, 100.0, 101.0]  # games 0,1 evicted
 
 
 def test_value_target_is_static_final_value():
-    buf = create_buffer(4, L, OBS, A)
+    buf = create_buffer(4, L, D, A)
     buf = add_games(buf, _finished(2, start_val=7.0))
     # game 0 final_value 7.0 broadcast over its 5 positions, zero beyond.
     np.testing.assert_allclose(np.asarray(buf.value[0, :5]), 7.0)
@@ -77,16 +77,16 @@ def test_value_target_is_static_final_value():
 
 
 def test_sample_returns_valid_positions():
-    buf = create_buffer(8, L, OBS, A)
+    buf = create_buffer(8, L, D, A)
     buf = add_games(buf, _finished(3, length=4))
-    obs, pol, val, gt = sample(buf, jax.random.key(0), 64)
-    assert obs.shape == (64,) + OBS
+    enc, pol, val, gt = sample(buf, jax.random.key(0), 64)
+    assert enc.shape == (64, D)
     # Every sampled policy is a real recorded one-hot (never a zero row).
     assert (np.asarray(pol).sum(axis=-1) > 0.99).all()
 
 
 def test_late_heavy_weights_favor_recent():
-    buf = create_buffer(8, L, OBS, A)
+    buf = create_buffer(8, L, D, A)
     for i in range(6):
         buf = add_games(buf, _finished(1, start_val=i))
     w = np.asarray(position_weights(buf, late_heavy=True))
@@ -102,7 +102,7 @@ def test_late_heavy_weights_favor_recent():
 def test_truncate_to_seq_partial_load():
     """Partial load by step: only games that existed at the cut survive
     (ref ReplayBuffer.py:64-104 step_to_size_map)."""
-    buf = create_buffer(8, L, OBS, A)
+    buf = create_buffer(8, L, D, A)
     buf = add_games(buf, _finished(3, start_val=0))  # seq 0,1,2 ("step 1")
     seq_at_step1 = int(buf.games_added)
     buf = add_games(buf, _finished(2, start_val=100))  # seq 3,4 ("step 2")
@@ -114,8 +114,8 @@ def test_truncate_to_seq_partial_load():
     kept = np.asarray(cut.seq)[np.asarray(cut.length) > 0]
     assert sorted(kept.tolist()) == [0, 1, 2]
     # Sampling never draws a dropped game (tags >= 100).
-    obs, _, _, _ = sample(cut, jax.random.key(0), 128)
-    assert (np.asarray(obs).reshape(128, -1)[:, 0] < 100).all()
+    enc, _, _, _ = sample(cut, jax.random.key(0), 128)
+    assert (np.asarray(enc)[:, 0] < 100).all()
     # Inserting after the cut reuses the ring exactly as at step 1.
     cut = add_games(cut, _finished(1, start_val=200))
     assert int(cut.games_added) == 4
@@ -124,7 +124,7 @@ def test_truncate_to_seq_partial_load():
 def test_truncate_to_seq_overwritten_slots_stay_empty():
     """Games evicted by post-cut insertions are unrecoverable — their slots
     stay empty (ref: partial load valid until the window first overflows)."""
-    buf = create_buffer(3, L, OBS, A)
+    buf = create_buffer(3, L, D, A)
     buf = add_games(buf, _finished(3, start_val=0))  # fills ring: seq 0,1,2
     buf = add_games(buf, _finished(2, start_val=100))  # evicts seq 0,1
     cut = truncate_to_seq(buf, 3)
@@ -133,11 +133,11 @@ def test_truncate_to_seq_overwritten_slots_stay_empty():
 
 
 def test_sample_without_replacement_unique():
-    buf = create_buffer(4, L, OBS, A)
+    buf = create_buffer(4, L, D, A)
     buf = add_games(buf, _finished(4, length=9))
     # 36 valid positions; draw 20 unique
-    obs, pol, val, gt = sample(
+    enc, pol, val, gt = sample(
         buf, jax.random.key(1), 20, with_replacement=False
     )
-    pos = np.asarray(obs).reshape(20, -1)
+    pos = np.asarray(enc)
     assert len(np.unique(pos, axis=0)) == 20

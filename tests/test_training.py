@@ -132,8 +132,11 @@ def test_selfplay_to_replay_to_learner_end_to_end():
     tr_step = jax.jit(learner.train_step)
     add = jax.jit(add_games)
 
+    from nuzero_tpu.utils.packing import make_packer
+
+    pack, unpack, D = make_packer(ENV.init(jax.random.key(0)))
     sp = init_selfplay(ENV, 8, jax.random.key(1))
-    buf = create_buffer(64, ENV.max_game_length, ENV.observation_shape, 9)
+    buf = create_buffer(64, ENV.max_game_length, D, 9)
     for _ in range(10):
         sp, finished, _ = sp_step(state.params, sp)
         buf = add(buf, finished)
@@ -141,8 +144,9 @@ def test_selfplay_to_replay_to_learner_end_to_end():
 
     losses = []
     for i in range(5):
-        batch = sample(buf, jax.random.key(i), 32)
-        state, metrics = tr_step(state, batch, jax.random.key(100 + i))
+        enc, pol, val, gt = sample(buf, jax.random.key(i), 32)
+        obs = jax.vmap(lambda v: ENV.observe(unpack(v)))(enc)
+        state, metrics = tr_step(state, (obs, pol, val, gt), jax.random.key(100 + i))
         losses.append(float(metrics["loss/combined"]))
     assert all(np.isfinite(losses))
     assert int(state.step) == 5
