@@ -62,12 +62,18 @@ class CacheConfig:
 
     cache_choice: str = "disabled"  # dict | keyless | disabled
     max_size: int = 12000
-    keep_updated: bool = False
+    # The reference's ``keep_updated`` knob (refresh cached inferences on
+    # weight updates) is accepted in YAML and ignored: training-loop caches
+    # are obsolete here (see class docstring).
 
 
 @dataclasses.dataclass(frozen=True)
 class SavingConfig:
-    storage_frequency: int = 1
+    """Ref ``Saving`` section.  ``storage_frequency`` (how often weights
+    ship to the Ray shared storage, ref ``AlphaZero.py:291-294``) is
+    accepted in YAML and ignored: params are device-resident and actors
+    read them directly every move-batch."""
+
     save_frequency: int = 20
     save_buffer: bool = True
 
@@ -203,13 +209,11 @@ def training_config_from_dict(d: dict) -> TrainingConfig:
         dict(
             cache_choice=g("Cache", "cache_choice"),
             max_size=g("Cache", "max_size"),
-            keep_updated=g("Cache", "keep_updated"),
         ),
     )
     saving = section(
         SavingConfig,
         dict(
-            storage_frequency=g("Saving", "storage_frequency"),
             save_frequency=g("Saving", "save_frequency"),
             save_buffer=g("Saving", "save_buffer"),
         ),

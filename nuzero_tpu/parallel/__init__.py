@@ -4,12 +4,10 @@ from nuzero_tpu.parallel.mesh import (
     place_replicated,
     shard_batch,
     replicate,
-    make_sharded_superstep,
 )
 
 __all__ = [
     "make_mesh",
-    "make_sharded_superstep",
     "place_batch_sharded",
     "place_replicated",
     "replicate",

@@ -1,4 +1,4 @@
-"""Device mesh + sharded actor-learner superstep.
+"""Device mesh + sharding placements for the dp actor-learner.
 
 The reference's parallelism is process-level: Ray Gamer actors spread over
 nodes, a single-process learner, and pickled-weight shipping through the
@@ -70,50 +70,3 @@ def place_batch_sharded(tree: Any, mesh: Mesh) -> Any:
         return jax.device_put(x, repl)
 
     return jax.tree.map(put, tree)
-
-
-def make_sharded_superstep(env, manager, learner, search_params, *,
-                           mesh: Mesh, batch_size: int, train_batch: int,
-                           pred_iters: int = 2):
-    """One jitted actor-learner superstep over the mesh.
-
-    self-play move-batch -> replay scatter -> sample -> SGD update.
-    Returns (superstep, placement) where ``placement(state, sp, buffer)``
-    device_puts the carried pytrees with the right shardings.  Requires
-    ``batch_size`` and the replay capacity to divide the mesh size.
-    """
-    from nuzero_tpu.training import replay as replay_lib
-    from nuzero_tpu.training.selfplay import make_selfplay_step
-    from nuzero_tpu.utils.packing import make_packer
-
-    def net(variables, obs):
-        p, v, _ = manager.apply(variables, obs, iters_to_do=pred_iters)
-        return p, v
-
-    sp_step = make_selfplay_step(env, net, search_params, training=True)
-    _, unpack, state_dim = make_packer(env.init(jax.random.key(0)))
-
-    def placement(state, sp, buffer):
-        return (
-            place_replicated(state, mesh),
-            place_batch_sharded(sp, mesh),
-            place_batch_sharded(buffer, mesh),
-        )
-
-    def superstep(state, sp, buffer, rng):
-        rng, k_s, k_t = jax.random.split(rng, 3)
-        sp, finished, sp_stats = sp_step(state.params, sp)
-        buffer = replay_lib.add_games(buffer, finished)
-        enc, pol, val, gt = replay_lib.sample(buffer, k_s, train_batch)
-        # Regenerate observations from the sampled packed states (the
-        # buffer stores states, not observations — replay.py docstring).
-        obs = jax.vmap(lambda v: env.observe(unpack(v[:state_dim])))(enc)
-        state, metrics = learner.train_step(state, (obs, pol, val, gt), k_t)
-        metrics.update(sp_stats)
-        return state, sp, buffer, rng, metrics
-
-    # jit follows the committed input shardings from ``placement``; XLA
-    # propagates them through the program and inserts the dp all-reduce for
-    # the gradient combine.
-    jitted = jax.jit(superstep)
-    return jitted, placement

@@ -77,6 +77,12 @@ class SearchParams:
     # array tree is a fixed budget: when full, simulations stop expanding
     # and re-contribute leaf evaluations (documented deviation; the search
     # warns through SearchResults.tree_nodes when the cap binds).
+    # SCALING NOTE: backprop credits edges with a dense one-hot einsum that
+    # is O(depth_cap * tree_capacity * num_actions) FLOPs per simulation
+    # (see _backprop_path) — fast at the profiled sizes (<=200 nodes), but
+    # cost grows ~quadratically in the simulation budget, so very large
+    # user-set capacities (thousands of nodes) will make backprop dominate
+    # the search.  Prefer capacities within ~4x of the auto default.
     tree_capacity: int = 0
 
 

@@ -130,6 +130,16 @@ class AlphaZero:
                     f"replay_window_size={train_config.learning.replay_window_size}"
                     f" must divide the mesh size {mesh.size}"
                 )
+        if (
+            train_config.running.running_mode == "sequential"
+            and train_config.running.num_games_per_type_per_step < 1
+        ):
+            # A 0-game sequential step would train without fresh self-play
+            # and leave the per-step stats undefined; reject it up front.
+            raise ValueError(
+                "sequential running_mode requires "
+                "num_games_per_type_per_step >= 1"
+            )
         self.test_hook = test_hook  # called (state, step) -> dict of metrics
         # Fixed probe positions whose value-head outputs are tracked per
         # plot step (ref AlphaZero.state_set + update_state_set_data,
@@ -317,11 +327,14 @@ class AlphaZero:
         batches = []
         for t in range(T):
             k_s, k_sub = jax.random.split(k_s)
+            # Distribute the remainder over the first batch_size % T types
+            # so the update trains on exactly batch_size samples.
+            sub_size = batch_size // T + (1 if t < batch_size % T else 0)
             batches.append(
                 self._samplers[t](
                     self.buffer,
                     k_sub,
-                    batch_size // T,
+                    sub_size,
                     late_heavy=late_heavy,
                     with_replacement=with_replacement,
                     game_type=t,
@@ -564,7 +577,9 @@ class AlphaZero:
                 "loss/combined": float(tr_metrics.get("loss/combined", np.nan)),
                 "loss/policy": float(tr_metrics.get("loss/policy", np.nan)),
                 "loss/value": float(tr_metrics.get("loss/value", np.nan)),
-                "selfplay/root_value": float(sp_stats["root_value_mean"]),
+                "selfplay/root_value": float(
+                    sp_stats.get("root_value_mean", np.nan)
+                ),
                 "selfplay/tree_full_frac": float(
                     sp_stats.get("tree_full_frac", 0.0)
                 ),

@@ -22,14 +22,28 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+# Checkpoint tree-layout version.  Bumped when the saved pytree structure
+# changes incompatibly (v2: ReplayBuffer stores packed states in a
+# ``states`` field; v1 buffers stored observation tensors in ``obs``).
+# Restores of a mismatched version fail with a clear message instead of an
+# Orbax tree-structure error.
+FORMAT_VERSION = 2
+
+
 def _ckpt_dir(root: str, step: int) -> str:
     return os.path.join(os.path.abspath(root), f"step_{step:08d}")
+
+
+def _format_path(root: str) -> str:
+    return os.path.join(os.path.abspath(root), "FORMAT")
 
 
 def save_checkpoint(root: str, step: int, tree: Any) -> str:
     path = _ckpt_dir(root, step)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, tree, force=True)
+    with open(_format_path(root), "w") as f:
+        f.write(f"{FORMAT_VERSION}\n")
     return path
 
 
@@ -52,6 +66,17 @@ def restore_checkpoint(root: str, step: int | str = "auto", target: Any = None):
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {root}")
     path = _ckpt_dir(root, int(step))
+    fmt_file = _format_path(root)
+    if os.path.exists(fmt_file):
+        with open(fmt_file) as f:
+            saved_fmt = int(f.read().strip() or 0)
+        if saved_fmt != FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint at {path} was saved with tree-layout version "
+                f"{saved_fmt}; this build reads version {FORMAT_VERSION}. "
+                "Re-train or convert the run (buffer-bearing v1 checkpoints "
+                "stored observations, v2 stores packed states)."
+            )
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
         # Restore leaves as host numpy (topology-independent), then let the
