@@ -217,6 +217,21 @@ class AlphaZero:
             return v
 
         self._probe_values = jax.jit(probe_values)
+
+        def weight_stats(params):
+            # |weight| max/min/mean over ALL parameters, the reference's
+            # three weight-size series (ref update_weight_data,
+            # AlphaZero.py:1164-1173).
+            leaves = [jnp.abs(x.reshape(-1)) for x in jax.tree.leaves(params)]
+            sizes = jnp.asarray([x.size for x in leaves], jnp.float32)
+            return (
+                jnp.max(jnp.asarray([x.max() for x in leaves])),
+                jnp.min(jnp.asarray([x.min() for x in leaves])),
+                jnp.sum(jnp.asarray([x.mean() for x in leaves]) * sizes)
+                / sizes.sum(),
+            )
+
+        self._weight_stats = jax.jit(weight_stats)
         self.add_games = jax.jit(replay_lib.add_games, donate_argnums=(0,))
         # The buffer stores packed env states (see replay.py docstring);
         # each game type's sampler regenerates observations from the drawn
@@ -251,6 +266,27 @@ class AlphaZero:
             make_sampler(e, up, d)
             for e, (_, up, d) in zip(envs, self._packers)
         ]
+
+        # Epochs learning method: exact shuffle-and-sweep batch extraction
+        # (ref AlphaZero.py:686-737) — a per-epoch permutation of valid
+        # positions sliced into batches, instead of independent draws.
+        def make_epoch_sampler(env_t, unpack_t, dim_t):
+            def gather_obs(buffer, idx):
+                enc, pol, val, gt = replay_lib.gather(buffer, idx)
+                obs = jax.vmap(lambda v: env_t.observe(unpack_t(v[:dim_t])))(
+                    enc
+                )
+                return obs, pol, val, gt
+
+            return jax.jit(gather_obs)
+
+        self._epoch_samplers = [
+            make_epoch_sampler(e, up, d)
+            for e, (_, up, d) in zip(envs, self._packers)
+        ]
+        self._epoch_perm = jax.jit(
+            replay_lib.epoch_permutation, static_argnames=("game_type",)
+        )
         self.trajectory_length = train_config.running.max_trajectory_length or max(
             e.max_game_length for e in envs
         )
@@ -354,23 +390,62 @@ class AlphaZero:
                     with_replacement=cfg.with_replacement,
                 )
         elif cfg.learning_method == "epochs":
-            n_positions = int(self.buffer.num_positions)
-            if cfg.epochs_batch_size > n_positions:
-                raise ValueError(
-                    "Batch size too large; use early_fill to pre-fill the "
-                    "replay buffer (ref AlphaZero.py:690-693)"
+            # Exact shuffle-and-sweep (ref AlphaZero.py:686-737): each epoch
+            # permutes the valid positions once and slices full batches in
+            # order — every position visited at most once per epoch, with
+            # the n_positions % batch_size remainder dropped (like the
+            # reference's replay_size // batch_size slicing).
+            T = len(self.envs)
+            bs = cfg.epochs_batch_size
+            sub_sizes = [
+                bs // T + (1 if t < bs % T else 0) for t in range(T)
+            ]
+            n_pos = [
+                int(
+                    jnp.where(
+                        self.buffer.game_type == t, self.buffer.length, 0
+                    ).sum()
                 )
-            n_batches = n_positions // cfg.epochs_batch_size
-            for _e in range(cfg.learning_epochs):
-                for _b in range(n_batches):
-                    rng, k_s, k_t = jax.random.split(rng, 3)
-                    # Sampling w/o replacement within the epoch approximates
-                    # the reference's shuffle-and-slice sweep on device.
-                    state, metrics = self._one_update(
-                        state, k_s, k_t, cfg.epochs_batch_size,
-                        late_heavy=False,
-                        with_replacement=False,
+                if T > 1
+                else int(self.buffer.num_positions)
+                for t in range(T)
+            ]
+            for t in range(T):
+                if sub_sizes[t] > n_pos[t]:
+                    raise ValueError(
+                        "Batch size too large; use early_fill to pre-fill "
+                        "the replay buffer (ref AlphaZero.py:690-693)"
                     )
+            n_batches = min(n_pos[t] // sub_sizes[t] for t in range(T))
+            for e in range(cfg.learning_epochs):
+                perms = []
+                for t in range(T):
+                    rng, k_p = jax.random.split(rng)
+                    perms.append(
+                        self._epoch_perm(
+                            self.buffer, k_p,
+                            game_type=t if T > 1 else None,
+                        )
+                    )
+                ep_loss = 0.0
+                for b in range(n_batches):
+                    rng, k_t = jax.random.split(rng)
+                    batches = tuple(
+                        self._epoch_samplers[t](
+                            self.buffer,
+                            perms[t][b * sub_sizes[t]:(b + 1) * sub_sizes[t]],
+                        )
+                        for t in range(T)
+                    )
+                    if T == 1:
+                        state, metrics = self.tr_step(state, batches[0], k_t)
+                    else:
+                        state, metrics = self.tr_step_multi(state, batches, k_t)
+                    ep_loss += float(metrics["loss/combined"])
+                if cfg.plot_epochs and n_batches:
+                    # Per-epoch mean loss series (ref epochs_*_loss plots,
+                    # AlphaZero.py:704-708).
+                    metrics[f"loss/epoch{e}"] = ep_loss / n_batches
         else:
             raise ValueError(f"bad learning_method {cfg.learning_method!r}")
         return state, rng, metrics
@@ -522,6 +597,33 @@ class AlphaZero:
         sequential = cfg.running.running_mode == "sequential"
         T = len(self.envs)
         timers = PhaseTimers()
+        # Optional model-FLOPs accounting for journal MFU (one extra
+        # compile of the train step — opt in with NUZERO_MFU=1; bench.py
+        # always reports MFU for the benchmark legs).
+        train_flops = None
+        if os.environ.get("NUZERO_MFU"):
+            try:
+                bs = (
+                    cfg.learning.batch_size
+                    if cfg.learning.learning_method == "samples"
+                    else cfg.learning.epochs_batch_size
+                )
+                obs = jnp.zeros(
+                    (max(bs // T, 1),) + tuple(self.env.observation_shape),
+                    jnp.float32,
+                )
+                cost = (
+                    jax.jit(lambda v, o: self._net(v, o))
+                    .lower(state.params, obs)
+                    .compile()
+                    .cost_analysis()
+                )
+                if isinstance(cost, list):
+                    cost = cost[0]
+                # forward + backward ~ 3x forward FLOPs per update.
+                train_flops = 3.0 * float(cost.get("flops", 0.0))
+            except Exception:
+                train_flops = None
         # Optional jax.profiler capture of a few steady-state steps
         # (SURVEY §5.1; the reference has no profiler at all).
         trace_dir = os.environ.get("NUZERO_TRACE_DIR")
@@ -561,6 +663,7 @@ class AlphaZero:
                             break
 
             rng, k_t = jax.random.split(rng)
+            updates_before = int(state.step)
             with timers.phase("train"):
                 state, rng, tr_metrics = self._train_once(state, k_t)
 
@@ -608,7 +711,27 @@ class AlphaZero:
                 record.update(
                     {f"value_probe/{i}": float(v) for i, v in enumerate(values)}
                 )
+            if (
+                cfg.plotting.plot_weights
+                and step % cfg.plotting.plot_frequency == 0
+            ):
+                w_max, w_min, w_mean = self._weight_stats(state.params)
+                record.update(
+                    {
+                        "weights/abs_max": float(w_max),
+                        "weights/abs_min": float(w_min),
+                        "weights/abs_mean": float(w_mean),
+                    }
+                )
 
+            if train_flops:
+                # Model FLOP/s across this step's updates (forward+backward
+                # at the train batch size; self-play/search excluded).
+                n_updates = int(state.step) - updates_before
+                record["train_flops_per_s"] = round(
+                    train_flops * max(n_updates, 0)
+                    / max(time.time() - t0, 1e-9)
+                )
             record.update(timers.metrics())
             self.journal.append(record)
             if trace_dir and step == trace_at:
@@ -627,9 +750,34 @@ class AlphaZero:
                     save_checkpoint(
                         os.path.join(self.run_dir, "checkpoints"), step, tree
                     )
+                # Refresh the plot set beside the checkpoints (ref in-loop
+                # rendering every plot_frequency steps,
+                # AlphaZero.py:429-451; here rendering rides the checkpoint
+                # cadence so the hot loop never blocks on matplotlib).
+                self.render_plots()
 
         self._harvest_async_tests(block=True)
+        if self.run_dir:
+            self.render_plots()
         return state
+
+    def render_plots(self) -> list:
+        """Render the training plot set from the journal into
+        ``run_dir/plots`` (ref plot rendering,
+        ``AlphaZero.py:963-1179``).  Returns written paths."""
+        if self.run_dir is None:
+            return []
+        from nuzero_tpu.utils.plots import plot_training_run
+
+        records = self.journal.load()
+        if not records:
+            return []
+        return plot_training_run(
+            records,
+            os.path.join(self.run_dir, "plots"),
+            recent_steps=self.cfg.plotting.recent_steps_loss,
+            include_loss=self.cfg.plotting.plot_loss,
+        )
 
     # -- resume --------------------------------------------------------------
 

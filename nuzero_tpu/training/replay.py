@@ -171,6 +171,39 @@ def position_weights(buffer: ReplayBuffer, late_heavy: bool) -> jax.Array:
     return jnp.where(valid, w[:, None], 0.0)
 
 
+def epoch_permutation(buffer: ReplayBuffer, rng: jax.Array, game_type=None):
+    """i32[G*L] flat position indices with every VALID position first, in
+    uniform-random order (invalid slots follow).
+
+    The device analogue of the reference's per-epoch buffer shuffle
+    (``ReplayBuffer.shuffle`` + slice sweep, ``AlphaZero.py:713-737``):
+    slicing the first ``n_batches * batch_size`` entries visits each valid
+    position at most once per epoch.  ``game_type`` restricts validity to
+    one type's positions.
+    """
+    G, L = buffer.value.shape
+    valid = jnp.arange(L)[None, :] < buffer.length[:, None]
+    if game_type is not None:
+        valid = valid & (buffer.game_type == game_type)[:, None]
+    valid = valid.reshape(-1)
+    # Random sort key; +2 pushes invalid slots after every valid one.
+    key = jax.random.uniform(rng, valid.shape) + jnp.where(valid, 0.0, 2.0)
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def gather(buffer: ReplayBuffer, flat_idx: jax.Array):
+    """Fetch positions by flat (game, position) index — the epoch sweep's
+    batch extraction.  Returns (states, policy, value, game_type)."""
+    G, L = buffer.value.shape
+    gi, pi = flat_idx // L, flat_idx % L
+    return (
+        buffer.states[gi, pi],
+        buffer.policy[gi, pi],
+        buffer.value[gi, pi],
+        buffer.game_type[gi],
+    )
+
+
 def sample(
     buffer: ReplayBuffer,
     rng: jax.Array,

@@ -256,3 +256,111 @@ def test_value_probe_state_set(tmp_path):
         for i in range(3):
             v = r[f"value_probe/{i}"]
             assert np.isfinite(v) and -1.0 <= v <= 1.0
+
+
+def test_epochs_method_sweeps_every_position_exactly(tmp_path):
+    """learning_method=epochs visits every valid buffer position exactly
+    learning_epochs times per training step (exact shuffle-and-sweep,
+    ref AlphaZero.py:686-737)."""
+    env = TicTacToe()
+    mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
+    cfg = TrainingConfig(
+        running=RunningConfig(
+            num_actors=8, training_steps=1,
+            num_games_per_type_per_step=4, early_fill_per_type=8,
+        ),
+        learning=LearningConfig(
+            replay_window_size=64,
+            learning_method="epochs",
+            epochs_batch_size=4,
+            learning_epochs=2,
+        ),
+        optimizer=OptimizerConfig(starting_lr=1e-3),
+    )
+    az = AlphaZero(env, mgr, cfg, SearchParams(num_simulations=4), run_dir=None)
+    state = az.learner.init_state(jax.random.key(0))
+    # Fill the buffer with games whose position count divides the batch
+    # size so the sweep is exact (the remainder is dropped otherwise, as in
+    # the reference's replay_size // batch_size slicing).
+    from nuzero_tpu.training.replay import FinishedGames
+
+    B, L, Dd, A = 8, env.max_game_length, az.state_dim, env.num_actions
+    fin = FinishedGames(
+        states=jax.numpy.zeros((B, L, Dd)),
+        policy=jax.numpy.ones((B, L, A)) / A,
+        final_value=jax.numpy.zeros(B),
+        length=jax.numpy.full(B, 4, jax.numpy.int32),  # 8*4 = 32 positions
+        game_type=jax.numpy.zeros(B, jax.numpy.int32),
+        mask=jax.numpy.ones(B, bool),
+    )
+    az.buffer = az.add_games(az.buffer, fin)
+    assert int(az.buffer.num_positions) == 32
+
+    seen = []
+    orig = az._epoch_samplers[0]
+
+    def spy(buffer, idx):
+        seen.append(np.asarray(idx))
+        return orig(buffer, idx)
+
+    az._epoch_samplers[0] = spy
+    az._train_once(state, jax.random.key(1))
+
+    flat = np.concatenate(seen)
+    assert len(flat) == 2 * 32  # 2 epochs x 32 positions
+    counts = np.bincount(flat, minlength=az.buffer.capacity * L)
+    lengths = np.asarray(az.buffer.length)
+    for g in range(az.buffer.capacity):
+        for p in range(L):
+            expected = 2 if p < lengths[g] else 0
+            assert counts[g * L + p] == expected
+
+
+def test_weight_stats_and_auto_plots(tmp_path):
+    """plot_weights emits the |w| max/min/mean series (ref
+    AlphaZero.py:1164-1173) and a fresh run leaves rendered plots in
+    run_dir/plots with no manual step."""
+    from nuzero_tpu.config.schemas import PlottingConfig
+
+    env = TicTacToe()
+    mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
+    cfg = TrainingConfig(
+        running=RunningConfig(
+            num_actors=8, training_steps=2,
+            num_games_per_type_per_step=2, early_fill_per_type=4,
+        ),
+        learning=LearningConfig(
+            replay_window_size=64, batch_size=8, num_samples=1
+        ),
+        plotting=PlottingConfig(plot_weights=True, plot_frequency=1),
+        saving=SavingConfig(save_frequency=100),  # no mid-run checkpoint
+        optimizer=OptimizerConfig(starting_lr=1e-3),
+    )
+    az = AlphaZero(
+        env, mgr, cfg, SearchParams(num_simulations=4), run_dir=str(tmp_path)
+    )
+    az.run(seed=0)
+    recs = az.journal.load()
+    stepped = [r for r in recs if "weights/abs_max" in r]
+    assert stepped, "plot_weights should journal weight stats"
+    r = stepped[-1]
+    # min can be exactly 0 (zero-initialized biases).
+    assert 0 <= r["weights/abs_min"] <= r["weights/abs_mean"] <= r["weights/abs_max"]
+    assert r["weights/abs_max"] > 0
+    plots_dir = os.path.join(str(tmp_path), "plots")
+    names = set(os.listdir(plots_dir))
+    assert "loss_global.png" in names and "loss_recent.png" in names
+    assert "weights.png" in names
+
+
+def test_plot_loss_off_skips_loss_plots(tmp_path):
+    from nuzero_tpu.utils.plots import plot_training_run
+
+    records = [
+        {"step": i, "loss/combined": 1.0 / (i + 1), "step_time_s": 0.1}
+        for i in range(3)
+    ]
+    written = plot_training_run(
+        records, str(tmp_path / "p"), include_loss=False
+    )
+    assert not any("loss" in os.path.basename(p) for p in written)

@@ -141,3 +141,36 @@ def test_sample_without_replacement_unique():
     )
     pos = np.asarray(enc)
     assert len(np.unique(pos, axis=0)) == 20
+
+
+def test_epoch_permutation_valid_first_and_complete():
+    from nuzero_tpu.training.replay import epoch_permutation
+
+    buf = create_buffer(4, L, D, A)
+    buf = add_games(buf, _finished(3, length=5))
+    n_valid = int(buf.num_positions)
+    perm = np.asarray(epoch_permutation(buf, jax.random.key(0)))
+    assert sorted(perm.tolist()) == list(range(4 * L))  # a true permutation
+    lengths = np.asarray(buf.length)
+    valid_flat = {
+        g * L + p for g in range(4) for p in range(int(lengths[g]))
+    }
+    assert set(perm[:n_valid].tolist()) == valid_flat  # valid slots first
+    # Different keys give different orders (shuffle, not a fixed sort).
+    perm2 = np.asarray(epoch_permutation(buf, jax.random.key(1)))
+    assert perm[:n_valid].tolist() != perm2[:n_valid].tolist()
+
+
+def test_epoch_permutation_game_type_filter():
+    from nuzero_tpu.training.replay import epoch_permutation, gather
+
+    buf = create_buffer(4, L, D, A)
+    f = _finished(4, length=5)
+    f = f.replace(game_type=jnp.asarray([0, 1, 0, 1], jnp.int32))
+    buf = add_games(buf, f)
+    perm = np.asarray(epoch_permutation(buf, jax.random.key(0), game_type=1))
+    n_t1 = int(jnp.where(buf.game_type == 1, buf.length, 0).sum())
+    games = perm[:n_t1] // L
+    assert set(games.tolist()) == {1, 3}
+    _, _, _, gt = gather(buf, jnp.asarray(perm[:n_t1]))
+    assert (np.asarray(gt) == 1).all()
