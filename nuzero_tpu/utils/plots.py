@@ -29,18 +29,25 @@ def _series(records: List[Dict], key: str) -> Tuple[List[int], List[float]]:
 
 
 def plot_training_run(
-    records: List[Dict], out_dir: str, recent_steps: int = 200
+    records: List[Dict],
+    out_dir: str,
+    recent_steps: int = 200,
+    include_loss: bool = True,
 ) -> List[str]:
     """Render the reference's training plot set from journal records.
+    ``include_loss`` maps the ``plot_loss`` knob; ``recent_steps`` the
+    ``recent_steps_loss`` knob (ref Plotting config section).
     Returns the written file paths."""
     os.makedirs(out_dir, exist_ok=True)
     written = []
 
     # Loss plots: global + recent window (ref AlphaZero.py:963-1050).
-    for scope, recs in (
-        ("global", records),
-        ("recent", records[-recent_steps:]),
-    ):
+    loss_scopes = (
+        [("global", records), ("recent", records[-recent_steps:])]
+        if include_loss
+        else []
+    )
+    for scope, recs in loss_scopes:
         fig, ax = plt.subplots(figsize=(8, 5))
         for key, label in (
             ("loss/combined", "combined"),
@@ -110,6 +117,30 @@ def plot_training_run(
         ax.set_title("value probes (fixed state set)")
         ax.legend()
         path = os.path.join(out_dir, "value_probes.png")
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+        written.append(path)
+
+    # Weight-size series: |w| max/min/mean vs step (ref update_weight_data
+    # + weight plots, AlphaZero.py:1164-1173,1181-1202), emitted by the
+    # coordinator when ``plot_weights`` is on.
+    weight_keys = [
+        ("weights/abs_max", "max |w|"),
+        ("weights/abs_mean", "mean |w|"),
+        ("weights/abs_min", "min |w|"),
+    ]
+    if any(any(k in r for r in records) for k, _ in weight_keys):
+        fig, ax = plt.subplots(figsize=(8, 5))
+        for key, label in weight_keys:
+            xs, ys = _series(records, key)
+            if xs:
+                ax.plot(xs, ys, label=label, linewidth=1)
+        ax.set_xlabel("training step")
+        ax.set_ylabel("|weight|")
+        ax.set_yscale("log")
+        ax.set_title("weight magnitude (all parameters)")
+        ax.legend()
+        path = os.path.join(out_dir, "weights.png")
         fig.savefig(path, dpi=100)
         plt.close(fig)
         written.append(path)

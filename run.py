@@ -51,6 +51,7 @@ def _scs_env(scenario_file: str, seed: int = 42):
 
 def _managers(env, arch: str, hex: bool = True):
     from nuzero_tpu.networks import (
+        ConvNet,
         MLPNetwork,
         NetworkManager,
         RecurrentNet,
@@ -59,6 +60,13 @@ def _managers(env, arch: str, hex: bool = True):
 
     if arch == "mlp":
         net = MLPNetwork(out_features=env.num_actions)
+    elif arch == "conv":
+        net = ConvNet(
+            policy_channels=env.action_space_shape[0],
+            num_filters=64,
+            num_layers=2,
+            hex=hex,
+        )
     elif arch == "recurrent":
         net = RecurrentNet(
             policy_channels=env.action_space_shape[0],
@@ -78,7 +86,8 @@ def _managers(env, arch: str, hex: bool = True):
     return NetworkManager(net, env.observation_shape)
 
 
-def _train(env, manager, train_cfg_file, search_cfg_file, name=None, state_set=None):
+def _train(env, manager, train_cfg_file, search_cfg_file, name=None,
+           state_set=None, meta=None):
     import jax
 
     from nuzero_tpu.config import load_search_config, load_training_config
@@ -107,6 +116,11 @@ def _train(env, manager, train_cfg_file, search_cfg_file, name=None, state_set=N
         os.path.join(REPO, "configs", "search", search_cfg_file),
         os.path.join(run_dir, "search_config_copy.yaml"),
     )
+    if meta:
+        # Enough to rebuild env+network on resume (wizard continue flow).
+        from nuzero_tpu.config.run_meta import save_run_meta
+
+        save_run_meta(run_dir, **meta)
     az = AlphaZero(
         env, manager, cfg, search, run_dir=run_dir, state_set=state_set,
         mesh=mesh,
@@ -122,7 +136,10 @@ def _train(env, manager, train_cfg_file, search_cfg_file, name=None, state_set=N
 def training_preset(idx: int, name):
     if idx == 0:
         env = _ttt_env()
-        _train(env, _managers(env, "mlp"), "ttt_default.yaml", "ttt_search.yaml", name)
+        _train(
+            env, _managers(env, "mlp"), "ttt_default.yaml", "ttt_search.yaml",
+            name, meta=dict(game="ttt", arch="mlp", hex=False),
+        )
     elif idx == 1:
         env = _ttt_env()
         _train(
@@ -131,6 +148,7 @@ def training_preset(idx: int, name):
             "ttt_default.yaml",
             "ttt_search.yaml",
             name or "ttt_recurrent",
+            meta=dict(game="ttt", arch="recurrent", hex=False),
         )
     elif idx == 2:
         from nuzero_tpu.evaluation import mirrored_state_set
@@ -145,6 +163,8 @@ def training_preset(idx: int, name):
             "scs_search.yaml",
             name,
             state_set=mirrored_state_set(env),
+            meta=dict(game="scs", arch="recurrent",
+                      scenario="open_field_5.yml"),
         )
     elif idx == 3:
         from nuzero_tpu.evaluation import solo_state_set
@@ -157,6 +177,8 @@ def training_preset(idx: int, name):
             "scs_search.yaml",
             name or "scs_solo_net",
             state_set=solo_state_set(env),
+            meta=dict(game="scs", arch="recurrent",
+                      scenario="solo_scout_5.yml"),
         )
     else:
         raise SystemExit(f"unknown training preset {idx}")
@@ -228,8 +250,93 @@ def testing_preset(idx: int, name):
         manager_agent.set_network(agent_params)
         results = tm.test_from_config(cfg, manager=manager)
         print(results)
+        # Save the extrapolation curve beside the run's other plots
+        # (ref Plots/PlotMaker.py iteration curves).
+        from nuzero_tpu.utils.plots import plot_iteration_sweep
+
+        out = plot_iteration_sweep(
+            results,
+            os.path.join(run_dir, "plots", "iteration_sweep.png"),
+            title=f"{name or 'scs_solo_net'} step {step}: win rate vs "
+            "recurrent iterations",
+        )
+        print(f"sweep plot written to {out}")
     else:
         raise SystemExit(f"unknown testing preset {idx}")
+
+
+def analyse_run(name: str, max_moves: int = 400, auto: bool = False,
+                fps: int = 30):
+    """--analyse: play one fresh game with the run's latest network (both
+    seats) and step through it in the SCS viewer (ref
+    ``SCS_Renderer.analyse``, ``SCS_Renderer.py:105-219``, driven from
+    Tester — ``Tester.py:27-35``).  The action history is saved beside the
+    checkpoints for later replays."""
+    import json
+
+    import jax
+
+    from nuzero_tpu.config.run_meta import build_from_meta, load_run_meta
+    from nuzero_tpu.evaluation import PolicyAgent
+    from nuzero_tpu.utils.checkpoint import restore_checkpoint
+    from nuzero_tpu.utils.viewer import SCSViewer
+
+    run_dir = os.path.join(RUNS, name)
+    meta = load_run_meta(run_dir)
+    if meta is None:
+        raise SystemExit(
+            f"{run_dir} has no run_meta.yaml; re-launch the run once via "
+            "run.py to write one"
+        )
+    if meta.get("game") != "scs":
+        raise SystemExit("--analyse renders SCS runs only")
+    env, manager = build_from_meta(meta, REPO)
+    tree, step = restore_checkpoint(os.path.join(run_dir, "checkpoints"), "auto")
+    params = tree["params"]
+    agent = PolicyAgent(manager, params)
+    print(f"playing one game with checkpoint step {step} ...")
+    state = env.init(None)
+    actions = []
+    rng = jax.random.key(0)
+    while not bool(env.terminal(state)) and len(actions) < max_moves:
+        rng, k = jax.random.split(rng)
+        a = agent.choose_host(env, state, params, k, len(actions))
+        state = env.step(state, jax.numpy.int32(a))
+        actions.append(int(a))
+    path = os.path.join(run_dir, "analysis_actions.json")
+    with open(path, "w") as f:
+        json.dump(actions, f)
+    print(f"{len(actions)} moves (terminal={bool(env.terminal(state))}); "
+          f"history saved to {path}")
+    SCSViewer(env).analyse(actions, fps=fps, auto=auto)
+    return actions
+
+
+def live_goalrush(max_moves: int = 400, fps: int = 8):
+    """--testing-preset 1 --view: watch the goal-rush baseline game live
+    (ref RemoteTester + SCS_Renderer.render polling loop,
+    ``SCS_Renderer.py:51-102``)."""
+    import jax
+
+    from nuzero_tpu.evaluation import GoalRushAgent, RandomAgent
+    from nuzero_tpu.utils.viewer import SCSViewer
+
+    env = _scs_env("solo_scout_5.yml")
+    agents = {0: GoalRushAgent(), 1: RandomAgent()}
+    holder = {"state": env.init(None), "moves": 0}
+
+    def poll():
+        s = holder["state"]
+        if bool(env.terminal(s)) or holder["moves"] >= max_moves:
+            return s
+        p = int(env.current_player(s))
+        rng = jax.random.key(holder["moves"])
+        a = agents[p].choose_host(env, s, None, rng, holder["moves"])
+        holder["state"] = env.step(s, jax.numpy.int32(a))
+        holder["moves"] += 1
+        return holder["state"]
+
+    SCSViewer(env).live(poll, fps=fps)
 
 
 def debug_preset(idx: int):
@@ -276,6 +383,19 @@ def main():
         help="play Tic-Tac-Toe in the terminal against an agent "
         "(ref Tester.ttt_vs_agent)",
     )
+    group.add_argument(
+        "--analyse",
+        type=str,
+        metavar="RUN",
+        help="replay a game played by RUN's latest checkpoint in the SCS "
+        "viewer (ref SCS_Renderer.analyse)",
+    )
+    parser.add_argument(
+        "--view",
+        action="store_true",
+        help="with --testing-preset 1: watch the goal-rush game live "
+        "(ref SCS_RemoteRenderer)",
+    )
     parser.add_argument("--name", type=str, default=None,
                         help="run/network name override")
     parser.add_argument(
@@ -290,7 +410,11 @@ def main():
     if args.training_preset is not None:
         training_preset(args.training_preset, args.name)
     elif args.testing_preset is not None:
+        if args.view and args.testing_preset == 1:
+            live_goalrush()
         testing_preset(args.testing_preset, args.name)
+    elif args.analyse is not None:
+        analyse_run(args.analyse)
     elif args.debug is not None:
         debug_preset(args.debug)
     elif args.play is not None:
