@@ -57,9 +57,25 @@ class Arena:
 
         def move(states, lengths, done, p0_vars, p1_vars, rng):
             k0, k1, k_next = jax.random.split(rng, 3)
-            a0 = p0_policy(p0_vars, states, lengths, k0)
-            a1 = p1_policy(p1_vars, states, lengths, k1)
             player = jax.vmap(env.current_player)(states)
+            # Only evaluate a seat's policy if some LIVE game has it on
+            # move.  For strictly-alternating games the lockstep batch
+            # shares move parity, so exactly one branch runs per move —
+            # halving eval cost for expensive (MCTS) seats vs computing
+            # both and selecting.  lax.cond under jit (not vmap) executes
+            # a single branch at runtime.
+            B = lengths.shape[0]
+            zeros = jnp.zeros(B, jnp.int32)
+            a0 = jax.lax.cond(
+                jnp.any((player == 0) & ~done),
+                lambda: p0_policy(p0_vars, states, lengths, k0).astype(jnp.int32),
+                lambda: zeros,
+            )
+            a1 = jax.lax.cond(
+                jnp.any((player == 1) & ~done),
+                lambda: p1_policy(p1_vars, states, lengths, k1).astype(jnp.int32),
+                lambda: zeros,
+            )
             action = jnp.where(player == 0, a0, a1)
             stepped = jax.vmap(env.step)(states, action)
 
