@@ -201,6 +201,7 @@ class Wizard:
                 ("MLP", "mlp"),
                 ("DeepThinking RecurrentNet", "recurrent"),
                 ("ResNet", "resnet"),
+                ("ConvNet", "conv"),
             ],
         )
         name = self.ask("Run name", f"{game}_{arch}")
@@ -212,6 +213,21 @@ class Wizard:
         search_path = os.path.join(run_dir, "search_config.yaml")
         save_yaml(training, train_path)
         save_yaml(search, search_path)
+        from nuzero_tpu.config.run_meta import save_run_meta
+
+        save_run_meta(
+            run_dir,
+            "ttt" if game == "ttt" else "scs",
+            arch,
+            scenario=(
+                None
+                if game == "ttt"
+                else "open_field_5.yml"
+                if game == "scs_open"
+                else "solo_scout_5.yml"
+            ),
+            hex=game != "ttt",
+        )
         self.print(f"configs written to {run_dir}")
         if not launch:
             return (game, arch, name, train_path, search_path)
@@ -249,6 +265,9 @@ class Wizard:
         self.print(f"run complete; artifacts in {run_dir}")
 
     def continue_(self):
+        """Pick a run, rebuild its env+network from ``run_meta.yaml``,
+        restore the latest checkpoint and resume training (ref
+        ``Interactive.py:126-173`` continue flows)."""
         runs_dir = os.path.join(REPO, "runs")
         runs = sorted(
             d
@@ -258,13 +277,63 @@ class Wizard:
         if not runs:
             self.print("no resumable runs found under runs/")
             return None
-        name = self.ask_choice(
-            "Resume which run?", [(r, r) for r in runs]
+        name = self.ask_choice("Resume which run?", [(r, r) for r in runs])
+        run_dir = os.path.join(runs_dir, name)
+
+        from nuzero_tpu.config.run_meta import build_from_meta, load_run_meta
+
+        meta = load_run_meta(run_dir)
+        if meta is None:
+            self.print(
+                f"{name} has no run_meta.yaml (created before resume "
+                "support); re-launch it via run.py once to write one"
+            )
+            return None
+        train_path = search_path = None
+        for cand in ("train_config_copy.yaml", "train_config.yaml"):
+            if os.path.exists(os.path.join(run_dir, cand)):
+                train_path = os.path.join(run_dir, cand)
+                break
+        for cand in ("search_config_copy.yaml", "search_config.yaml"):
+            if os.path.exists(os.path.join(run_dir, cand)):
+                search_path = os.path.join(run_dir, cand)
+                break
+        if train_path is None or search_path is None:
+            self.print(f"{name} is missing its config copies; cannot resume")
+            return None
+        extra = self.ask(
+            "Extra training steps beyond the config's training_steps "
+            "(0 = just finish the configured run)",
+            0,
+            int,
         )
-        self.print(
-            f"resume with: python run.py --training-preset <N> --name {name} "
-            "after setting load_checkpoint: True in the run's config copy"
-        )
+
+        import dataclasses
+
+        import jax
+
+        from nuzero_tpu.config import load_search_config, load_training_config
+        from nuzero_tpu.parallel import make_mesh
+        from nuzero_tpu.training import AlphaZero
+
+        env, manager = build_from_meta(meta, REPO)
+        cfg = load_training_config(train_path)
+        if extra:
+            cfg = dataclasses.replace(
+                cfg,
+                running=dataclasses.replace(
+                    cfg.running,
+                    training_steps=cfg.running.training_steps + extra,
+                ),
+            )
+        search = load_search_config(search_path)
+        devices = jax.devices()
+        mesh = make_mesh(devices) if len(devices) > 1 else None
+        az = AlphaZero(env, manager, cfg, search, run_dir=run_dir, mesh=mesh)
+        state, step = az.load(cfg.checkpoint.iteration_number)
+        self.print(f"resuming {name} from step {step}")
+        az.run(initial_state=state, starting_step=step)
+        self.print(f"resumed run complete; artifacts in {run_dir}")
         return name
 
     def test(self):

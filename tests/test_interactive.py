@@ -52,3 +52,67 @@ def test_printbar_output():
     assert lines[0].startswith("fill |····|")
     assert lines[-1].endswith("100%")
     assert "████" in lines[-1]
+
+
+def test_continue_flow_resumes_end_to_end(tmp_path, monkeypatch):
+    """The wizard continue flow actually loads the checkpoint and resumes
+    training (ref Interactive.py:126-173) — no printed instructions."""
+    import nuzero_tpu.interactive as interactive
+
+    monkeypatch.setattr(interactive, "REPO", str(tmp_path))
+
+    import jax
+
+    from nuzero_tpu.config import load_training_config
+    from nuzero_tpu.config.run_meta import save_run_meta
+    from nuzero_tpu.config.yaml_io import save_yaml
+    from nuzero_tpu.envs import TicTacToe
+    from nuzero_tpu.networks import MLPNetwork, NetworkManager
+    from nuzero_tpu.search import SearchParams
+    from nuzero_tpu.training import AlphaZero
+
+    run_dir = tmp_path / "runs" / "tiny"
+    run_dir.mkdir(parents=True)
+    save_yaml(
+        {
+            "Initialization": {"network_name": "tiny"},
+            "Running": {
+                "num_actors": 8,
+                "early_fill_per_type": 8,
+                "training_steps": 2,
+                "Sequential": {"num_games_per_type_per_step": 2},
+            },
+            "Learning": {
+                "replay_window_size": 64,
+                "Samples": {"batch_size": 8, "num_samples": 1},
+            },
+            "Saving": {"save_frequency": 1},
+            "Scheduler": {"starting_lr": 1e-3},
+        },
+        str(run_dir / "train_config.yaml"),
+    )
+    save_yaml(
+        {"Simulation": {"mcts_simulations": 4}},
+        str(run_dir / "search_config.yaml"),
+    )
+    save_run_meta(str(run_dir), "ttt", "mlp", hex=False)
+
+    env = TicTacToe()
+    mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
+    cfg = load_training_config(str(run_dir / "train_config.yaml"))
+    az = AlphaZero(
+        env, mgr, cfg, SearchParams(num_simulations=4), run_dir=str(run_dir)
+    )
+    az.run(seed=0)
+    steps_before = [r["step"] for r in az.journal.load() if "step" in r]
+    assert max(steps_before) == 2
+
+    out = []
+    # choice 0 = the only run; extra steps = 2.
+    w = interactive.Wizard(_scripted(["0", "2"]), out.append)
+    name = w.continue_()
+    assert name == "tiny"
+    assert any("resuming tiny from step 2" in s for s in out)
+    recs = az.journal.load()
+    steps = [r["step"] for r in recs if "step" in r]
+    assert max(steps) == 4, "resume should have trained steps 3 and 4"
