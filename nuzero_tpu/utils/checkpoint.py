@@ -88,5 +88,12 @@ def restore_checkpoint(root: str, step: int | str = "auto", target: Any = None):
         restored = ckptr.restore(path, item=target, restore_args=restore_args)
         restored = jax.tree.map(jnp.asarray, restored)
     else:
-        restored = ckptr.restore(path)
+        # Target-less restore: recover the tree structure from checkpoint
+        # metadata and read every leaf as host numpy (sharding-agnostic —
+        # a raw Orbax restore insists on concrete shardings).
+        meta_tree = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+        )
+        restored = ckptr.restore(path, restore_args=restore_args)
     return restored, int(step)

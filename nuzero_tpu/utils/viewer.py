@@ -228,10 +228,13 @@ class SCSViewer:
             states.append(step(states[-1], int(a)))
         return states
 
-    def analyse(self, actions: Sequence[int], fps: int = 30):
+    def analyse(self, actions: Sequence[int], fps: int = 30,
+                auto: bool = False):
         """Replay an action history; left/right arrows step, Down prints the
         state tensor, Up prints the legal mask, Esc/close quits (ref
-        ``analyse``, ``SCS_Renderer.py:105-219``)."""
+        ``analyse``, ``SCS_Renderer.py:105-219``).  ``auto`` steps through
+        every state once and exits — the non-interactive (CI/headless)
+        mode."""
         pygame = self.pygame
         states = self._replay_states(actions)
         screen = pygame.display.set_mode(self.size)
@@ -255,6 +258,10 @@ class SCSViewer:
                         print(np.flatnonzero(np.asarray(self.env.legal_mask(states[i]))))
             screen.blit(self.frame(states[i]), (0, 0))
             pygame.display.flip()
+            if auto:
+                if i >= len(states) - 1:
+                    running = False
+                i += 1
             clock.tick(fps)
         pygame.display.quit()
 

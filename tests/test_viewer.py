@@ -73,3 +73,27 @@ def test_replay_states_match_engine(game):
     states = viewer._replay_states(actions)
     assert len(states) == 7
     np.testing.assert_array_equal(np.asarray(states[-1].board), np.asarray(state.board))
+
+
+def test_analyse_run_cli_headless(tmp_path, monkeypatch):
+    """run.py --analyse end-to-end under the dummy SDL driver: plays a game
+    with the run's checkpoint, saves the history, auto-replays it."""
+    import jax
+
+    import run as runner
+    from nuzero_tpu.config.run_meta import save_run_meta
+    from nuzero_tpu.utils.checkpoint import save_checkpoint
+
+    monkeypatch.setattr(runner, "RUNS", str(tmp_path))
+    run_dir = tmp_path / "scs_tiny"
+    run_dir.mkdir()
+    env = runner._scs_env("solo_scout_5.yml")
+    manager = runner._managers(env, "recurrent")
+    params = manager.init(jax.random.key(0))
+    save_checkpoint(str(run_dir / "checkpoints"), 1, {"params": params})
+    save_run_meta(str(run_dir), "scs", "recurrent",
+                  scenario="solo_scout_5.yml")
+
+    actions = runner.analyse_run("scs_tiny", max_moves=10, auto=True, fps=1000)
+    assert 1 <= len(actions) <= 10
+    assert (run_dir / "analysis_actions.json").exists()
