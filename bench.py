@@ -1,7 +1,8 @@
 """Driver benchmark: MCTS-backed self-play throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "secondary": {...}}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "mfu_pct": ..., "trials": [...], "secondary": {...}}
 
 Two measurements, matching BASELINE.md's benchmark configs:
 - PRIMARY — SCS 5x5 map + hex-conv DeepThinking RecurrentNet (BASELINE
@@ -15,14 +16,33 @@ torch inference per leaf (ref Training/Gamer.py:39-97,
 Search/Explorer.py:40-67).  Each MCTS simulation advances at least one env
 step on a scratch state, so sims/s lower-bounds in-search env-steps/s.
 
-Env knobs: BENCH_BATCH/BENCH_SIMS/BENCH_REPS (TTT),
-BENCH_SCS_BATCH/BENCH_SCS_SIMS (SCS), BENCH_TRACE_DIR (jax.profiler trace),
-BENCH_SKIP_SCS=1 to skip the SCS leg.
+Methodology (hardened after BENCH_r02's 1500x secondary-leg flake):
+- N timed trials (default 4), each of ``reps`` full move-batches with
+  ``jax.block_until_ready`` on the ENTIRE carried self-play state per
+  trial — nothing can be timed while still in flight.
+- The reported value is the MEDIAN trial rate; min/max/spread ship in the
+  JSON so a flaky trial is visible instead of silently reported.
+- Plausibility invariants — violations mark the output
+  ``"suspect": true`` (and say why) rather than printing a wrong number
+  as fact:
+  * trial spread (max/min) must be < 2x,
+  * measured rate must be positive/finite and below an analytic
+    speed-of-light bound (network FLOPs alone at the chip's peak),
+  * the self-play state must actually advance (total_moves grows by
+    exactly batch * reps per trial).
+- MFU: model FLOPs (XLA cost analysis of one batched network apply) x
+  evals/s / chip peak.  Search/env overhead EXCLUDED — this is utilization
+  on useful network math, the number to drive up.
+
+Env knobs: BENCH_BATCH/BENCH_SIMS (TTT), BENCH_SCS_BATCH/BENCH_SCS_SIMS,
+BENCH_REPS/BENCH_TRIALS, BENCH_TRACE_DIR (jax.profiler trace),
+BENCH_SKIP_SCS=1 / BENCH_SKIP_TTT=1 to skip a leg.
 """
 
 import contextlib
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,8 +50,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+# bf16 peak of the bench chip.  TPU v5e: 197 TFLOP/s bf16 / 394 int8
+# (public spec); fall back to a v5e-like figure for unknown kinds so the
+# MFU figure stays conservative rather than absent.
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
 
-def measure_selfplay(env, net, variables, batch, sims, reps):
+
+def chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 197e12
+
+
+def net_flops_per_apply(apply_fn, variables, obs) -> float:
+    """Model FLOPs of ONE batched network apply via XLA cost analysis."""
+    try:
+        compiled = jax.jit(apply_fn).lower(variables, obs).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def measure_selfplay(env, net, variables, batch, sims, reps, trials):
     from nuzero_tpu.search import SearchParams
     from nuzero_tpu.training.selfplay import init_selfplay, make_selfplay_step
 
@@ -42,16 +93,57 @@ def measure_selfplay(env, net, variables, batch, sims, reps):
     )
     sp = init_selfplay(env, batch, jax.random.key(1), search_params=params)
 
-    # Warmup/compile.
-    sp, _, stats = step(variables, sp)
-    jax.block_until_ready(stats["finished"])
-
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # Warmup/compile (2 steps: the second runs the steady-state program).
+    for _ in range(2):
         sp, _, stats = step(variables, sp)
-    jax.block_until_ready(stats["finished"])
-    dt = (time.perf_counter() - t0) / reps
-    return batch * sims / dt
+    sp = jax.block_until_ready(sp)
+
+    rates, problems = [], []
+    for _t in range(trials):
+        moves_before = int(sp.total_moves)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            sp, _, stats = step(variables, sp)
+        sp = jax.block_until_ready(sp)  # full state, not one scalar
+        dt = (time.perf_counter() - t0) / reps
+        rates.append(batch * sims / dt)
+        advanced = int(sp.total_moves) - moves_before
+        if advanced != batch * reps:
+            problems.append(
+                f"state did not advance as expected ({advanced} moves, "
+                f"wanted {batch * reps})"
+            )
+
+    median = statistics.median(rates)
+    lo, hi = min(rates), max(rates)
+    if lo <= 0 or not all(map(lambda r: r == r and r != float("inf"), rates)):
+        problems.append("non-finite or non-positive trial rate")
+    elif hi / lo > 2.0:
+        problems.append(f"trial spread {hi / lo:.2f}x exceeds 2x")
+
+    # Speed-of-light cross-check: sims/s cannot exceed what the chip could
+    # do running ONLY the network math at peak.
+    obs = jax.vmap(env.observe)(sp.games)
+    f_apply = net_flops_per_apply(net, variables, obs)
+    peak = chip_peak_flops()
+    if f_apply > 0:
+        sol_rate = peak / (f_apply / batch)  # evals/s at peak = sims/s bound
+        if median > sol_rate:
+            problems.append(
+                f"rate {median:.3g}/s exceeds the speed-of-light bound "
+                f"{sol_rate:.3g}/s (net {f_apply / batch:.3g} FLOP/eval at "
+                f"{peak:.3g} FLOP/s peak)"
+            )
+    # Each simulation evaluates the network once (one batched call per sim).
+    mfu_pct = 100.0 * median * (f_apply / batch) / peak if f_apply else None
+    return {
+        "rate": median,
+        "trials": [round(r, 1) for r in rates],
+        "spread": round(hi / max(lo, 1e-9), 3),
+        "mfu_pct": round(mfu_pct, 3) if mfu_pct is not None else None,
+        "net_flops_per_eval": round(f_apply / batch, 1) if f_apply else None,
+        "problems": problems,
+    }
 
 
 def bench_ttt():
@@ -60,7 +152,8 @@ def bench_ttt():
 
     batch = int(os.environ.get("BENCH_BATCH", 1024))
     sims = int(os.environ.get("BENCH_SIMS", 100))
-    reps = int(os.environ.get("BENCH_REPS", 5))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    trials = int(os.environ.get("BENCH_TRIALS", 4))
 
     env = TicTacToe()
     mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
@@ -70,7 +163,7 @@ def bench_ttt():
         p, val, _ = mgr.apply(v, obs)
         return p, val
 
-    return measure_selfplay(env, net, variables, batch, sims, reps), batch, sims
+    return measure_selfplay(env, net, variables, batch, sims, reps, trials), batch, sims
 
 
 def bench_scs():
@@ -79,7 +172,8 @@ def bench_scs():
 
     batch = int(os.environ.get("BENCH_SCS_BATCH", 256))
     sims = int(os.environ.get("BENCH_SCS_SIMS", 30))
-    reps = int(os.environ.get("BENCH_REPS", 5))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    trials = int(os.environ.get("BENCH_TRIALS", 4))
 
     scenario = load_scenario(
         os.path.join(
@@ -102,7 +196,23 @@ def bench_scs():
         p, val, _ = mgr.apply(v, obs, iters_to_do=2)
         return p, val
 
-    return measure_selfplay(env, net, variables, batch, sims, reps), batch, sims
+    return measure_selfplay(env, net, variables, batch, sims, reps, trials), batch, sims
+
+
+def _leg_json(metric, res, batch, sims, tag):
+    out = {
+        "metric": metric,
+        "value": round(res["rate"], 1),
+        "unit": "env-steps/s (MCTS sims/s, %s B=%d sims=%d)" % (tag, batch, sims),
+        "vs_baseline": round(res["rate"] / 100_000.0, 3),
+        "trials": res["trials"],
+        "spread": res["spread"],
+        "mfu_pct": res["mfu_pct"],
+    }
+    if res["problems"]:
+        out["suspect"] = True
+        out["why_suspect"] = res["problems"]
+    return out
 
 
 def main():
@@ -114,34 +224,29 @@ def main():
         ctx = trace_capture(trace_dir)
 
     with ctx:
-        ttt_rate, ttt_b, ttt_s = bench_ttt()
-        if os.environ.get("BENCH_SKIP_SCS"):
-            scs_rate, scs_b, scs_s = 0.0, 0, 0
+        if os.environ.get("BENCH_SKIP_TTT"):
+            ttt = None
         else:
-            scs_rate, scs_b, scs_s = bench_scs()
-
-    secondary = {
-        "metric": "ttt_mcts_env_steps_per_s_per_chip",
-        "value": round(ttt_rate, 1),
-        "unit": "env-steps/s (MCTS sims/s, TTT+MLP B=%d sims=%d)"
-        % (ttt_b, ttt_s),
-        "vs_baseline": round(ttt_rate / 100_000.0, 3),
-    }
-    if scs_rate:
-        print(
-            json.dumps(
-                {
-                    "metric": "scs_mcts_env_steps_per_s_per_chip",
-                    "value": round(scs_rate, 1),
-                    "unit": "env-steps/s (MCTS sims/s, SCS 5x5 hex-RecurrentNet "
-                    "B=%d sims=%d)" % (scs_b, scs_s),
-                    "vs_baseline": round(scs_rate / 100_000.0, 3),
-                    "secondary": secondary,
-                }
+            ttt_res, ttt_b, ttt_s = bench_ttt()
+            ttt = _leg_json(
+                "ttt_mcts_env_steps_per_s_per_chip", ttt_res, ttt_b, ttt_s,
+                "TTT+MLP",
             )
-        )
-    else:
-        print(json.dumps(secondary))
+        if os.environ.get("BENCH_SKIP_SCS"):
+            scs = None
+        else:
+            scs_res, scs_b, scs_s = bench_scs()
+            scs = _leg_json(
+                "scs_mcts_env_steps_per_s_per_chip", scs_res, scs_b, scs_s,
+                "SCS 5x5 hex-RecurrentNet",
+            )
+
+    if scs is not None:
+        if ttt is not None:
+            scs["secondary"] = ttt
+        print(json.dumps(scs))
+    elif ttt is not None:
+        print(json.dumps(ttt))
 
 
 if __name__ == "__main__":
