@@ -310,12 +310,18 @@ def make_search_fn(
         # --- Root evaluation == the reference's first simulation on a
         # fresh root (expand + one backup), batched across games.
         priors0, legal0, value0, term0, tval0 = evaluate_batch(variables, states)
+        # ONE gamma draw serves both the fresh and the carried root: each
+        # game applies noise to exactly one of them (selected by
+        # ``carried``), and the rejection-sampling gamma while-loop is
+        # ~1.7 ms per draw at [B=256, A=525] — measurable at two per move.
+        noise = None
         if training:
             rng, sub = jax.random.split(rng)
             noise = (
                 jax.random.gamma(sub, params.root_dist_alpha, (B, A))
                 * params.root_dist_beta
             )
+        if training:
             frac = params.root_exploration_fraction
             noisy = priors0 * (1.0 - frac) + noise * frac
             # Only legal actions have children in the reference
@@ -346,12 +352,9 @@ def make_search_fn(
                 # add_exploration_noise on an already-expanded root
                 # (Explorer.py:46,201-210).  Each node becomes root at most
                 # once (the keep_subtree swap advances every move), so no
-                # compounding occurs in either implementation.
-                rng, sub = jax.random.split(rng)
-                noise = (
-                    jax.random.gamma(sub, params.root_dist_alpha, (B, A))
-                    * params.root_dist_beta
-                )
+                # compounding occurs in either implementation.  Reuses the
+                # single per-move gamma draw (see above) — a game is either
+                # fresh or carried, never both.
                 frac = params.root_exploration_fraction
                 root_prior = tree.prior[:, 0]
                 root_legal = tree.legal[:, 0]
