@@ -50,6 +50,26 @@ N_REINF_SHOWN = 3  # reinforcements represented in the state (ref :202)
 SUB_PHASES = 4
 
 
+def take_small(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """``table[idx]`` for a SMALL static first axis, as an unrolled select
+    chain.  TPU lowers per-element gathers to a serial custom call (~8 ns
+    per element + ~70 us fixed): the unit-table gathers in observe/legal
+    profiled at ~100 us per call at [B=256, R=C=5, K=2].  len(table)
+    static compares fuse into one elementwise VPU pass (~us).  ``idx``
+    must be in range (clamp first); trailing table axes broadcast.
+    """
+    flat = table.reshape(table.shape[0], -1) if table.ndim > 1 else table
+    out = jnp.zeros(idx.shape + flat.shape[1:], flat.dtype)
+    for k in range(table.shape[0]):
+        row = flat[k]
+        out = jnp.where(
+            (idx == k).reshape(idx.shape + (1,) * (flat.ndim - 1)), row, out
+        )
+    if table.ndim > 1:
+        return out.reshape(idx.shape + table.shape[1:])
+    return out
+
+
 @struct.dataclass
 class SCSState:
     board: jax.Array  # i32[R, C, K] unit ids, -1 empty, level 0 = bottom
@@ -169,6 +189,18 @@ class SCSGame(Env):
         self.nbr_r = jnp.asarray(dst_r)  # [6, R, C]
         self.nbr_c = jnp.asarray(dst_c)
         self.nbr_ok = jnp.asarray(valid)
+        # Cheapest adjacent-tile movement cost per tile (inf where no valid
+        # neighbor): lets the move applier's "can this unit still move?"
+        # check be one map lookup instead of six dynamic gathers per move
+        # (ref consider_other_units=False check, SCS_Game.py:596-600).
+        cost_np = np.asarray(scenario.terrain_cost)
+        nbr_cost = np.where(valid, cost_np[dst_r, dst_c], np.inf)
+        self.min_nbr_cost = jnp.asarray(nbr_cost.min(0), jnp.float32)  # [R,C]
+        # Static iotas for masked (gather-free) board updates.
+        self._iota_r = jnp.arange(R)[:, None, None]
+        self._iota_c = jnp.arange(C)[None, :, None]
+        self._iota_k = jnp.arange(K)[None, None, :]
+        self._iota_u = jnp.arange(self.U)
 
     # ------------------------------------------------------------------ #
     # helpers                                                            #
@@ -199,11 +231,14 @@ class SCSGame(Env):
         return m > 0
 
     def _ended_reinforcements(self, state, p):
-        """(ref player_ended_reinforcements, SCS_Game.py:908-911)."""
+        """(ref player_ended_reinforcements, SCS_Game.py:908-911).
+        ``p`` is a Python literal (0/1)."""
         nxt = state.reinf_next[p]
         exhausted = nxt >= self.reinf_count[p]
         slot = jnp.minimum(nxt, self.S - 1)
-        return exhausted | (self.reinf_turn[p, slot] != state.turn)
+        return exhausted | (
+            take_small(self.reinf_turn[p], slot) != state.turn
+        )
 
     def _no_units_with_status(self, state, p, status):
         mine = (self.u_player == p) & state.placed & state.alive
@@ -262,22 +297,27 @@ class SCSGame(Env):
         status_of = state.status
 
         # ---- sub-phase 0: placement (ref SCS_Game.py:411-420)
-        nxt = state.reinf_next[p]
-        have_next = (nxt < self.reinf_count[p]) & (
-            self.reinf_turn[p, jnp.minimum(nxt, S - 1)] == state.turn
+        nxt = jnp.where(p == 0, state.reinf_next[0], state.reinf_next[1])
+        cnt = jnp.where(p == 0, self.reinf_count[0], self.reinf_count[1])
+        slot = p * S + jnp.minimum(nxt, S - 1)
+        have_next = (nxt < cnt) & (
+            take_small(self.reinf_turn.reshape(-1), slot) == state.turn
         )
-        arrival = self.reinf_arrival[p, jnp.minimum(nxt, S - 1)]
+        arrival = take_small(
+            self.reinf_arrival.reshape(2 * S, self.R, C), slot
+        )
         placement = (
             arrival & ~(owner == opp) & (count < K) & have_next
         )[None]  # [1, R, C]
 
-        # ---- per-level unit info
+        # ---- per-level unit info (small-domain lookups, not gathers —
+        # see take_small; the unit table has 2S entries)
         lvl_uid = board  # [R, C, K]
         lvl_present = lvl_uid >= 0
         safe = jnp.maximum(lvl_uid, 0)
         lvl_player = safe // S
-        lvl_status = status_of[safe]
-        lvl_mov = state.mov[safe]
+        lvl_status = take_small(status_of, safe)
+        lvl_mov = take_small(state.mov, safe)
         lvl_mine = lvl_present & (lvl_player == p)
 
         # ---- sub-phase 1: movement + no_move (ref :423-441)
@@ -305,12 +345,12 @@ class SCSGame(Env):
 
         # ---- sub-phase 3: choose attackers + confirm (ref :463-477)
         target_onehot = (
-            jnp.zeros((R, C), bool)
-            .at[state.target_row, state.target_col]
-            .set(state.has_target)
+            (jnp.arange(R)[:, None] == state.target_row)
+            & (jnp.arange(C)[None, :] == state.target_col)
+            & state.has_target
         )
         adj_target = self._adjacent_any(target_onehot)
-        lvl_attacker = state.is_attacker[safe] & lvl_present
+        lvl_attacker = take_small(state.is_attacker, safe) & lvl_present
         selectable = (
             lvl_mine
             & (lvl_status != 2)
@@ -407,82 +447,121 @@ class SCSGame(Env):
     # -- action appliers -------------------------------------------------- #
 
     def _board_push(self, board, r, c, uid):
-        level = self._stack_count(board)[r, c]
-        return board.at[r, c, jnp.minimum(level, self.K - 1)].set(
-            jnp.where(level < self.K, uid, board[r, c, jnp.minimum(level, self.K - 1)])
+        """Masked elementwise push (no dynamic-index scatter: a [K]-row DUS
+        at a dynamic (r, c) lowers to a serial custom call per game —
+        profiled ~18 us each; the full-board where() is one fused VPU
+        pass over R*C*K elements)."""
+        count = self._stack_count(board)[:, :, None]  # [R, C, 1]
+        here = (
+            (self._iota_r == r)
+            & (self._iota_c == c)
+            & (self._iota_k == count)
+            & (count < self.K)
         )
+        return jnp.where(here, uid, board)
 
     def _board_remove(self, board, r, c, uid):
-        """list.remove semantics: drop uid, shift higher levels down."""
-        stack = board[r, c]  # [K]
-        keep = stack != uid
-        key = jnp.where(keep, 0, 1)
-        order = jnp.argsort(key, stable=True)
-        sorted_stack = stack[order]
-        sorted_keep = keep[order]
-        new_stack = jnp.where(sorted_keep, sorted_stack, -1)
-        return board.at[r, c].set(new_stack)
+        """list.remove semantics: drop uid, shift higher levels down.
+        Masked elementwise over the whole board (see _board_push): only
+        the (r, c) stack drops uid; every stack is then re-compacted,
+        which is the identity for already-compact stacks."""
+        here = (self._iota_r == r) & (self._iota_c == c)  # [R, C, 1] bcast
+        keep = (board >= 0) & ((board != uid) | ~here)
+        rank = jnp.cumsum(keep, axis=-1) - 1  # slot each kept entry lands in
+        new = jnp.full_like(board, -1)
+        for kp in range(self.K):
+            slot = jnp.full(board.shape[:2], -1, board.dtype)
+            for j in range(self.K):
+                slot = jnp.where(
+                    keep[:, :, j] & (rank[:, :, j] == kp), board[:, :, j], slot
+                )
+            new = new.at[:, :, kp].set(slot)  # static index: no scatter
+        return new
+
+    def _unit_set(self, arr, uid, value, do=True):
+        """arr.at[uid].set(value) over the [U] unit table, gather-free."""
+        hit = (self._iota_u == uid) & do
+        return jnp.where(hit, value, arr)
+
+    def _board_at(self, board, r, c, s_lvl):
+        """board[r, c, s_lvl] for dynamic scalars, as a small-domain
+        lookup over the flattened R*C*K board (see take_small)."""
+        flat = board.reshape(-1)
+        return take_small(flat, (r * self.C + c) * self.K + s_lvl)
 
     def _end_movement(self, state, uid):
         """status -> moved; isolated units also end fighting
-        (ref end_movement, SCS_Game.py:927-940)."""
-        p = self._unit_gather(self.u_player, uid)
+        (ref end_movement, SCS_Game.py:927-940).
+
+        Gather-free: the enemy-adjacency map is computed once for the whole
+        board (static-index neighbor tables) and the unit's tile is read
+        with one small-domain lookup — the per-direction dynamic scalar
+        gathers this replaces profiled at ~4.7 ms per move-batch."""
+        p = take_small(self.u_player, jnp.maximum(uid, 0))
         enemy_occ = self._tile_owner(state.board) == (1 - p)
-        ur, uc = state.row[uid], state.col[uid]
-        any_adj_enemy = jnp.zeros((), bool)
-        for d in range(6):
-            nr = self.nbr_r[d, ur, uc]
-            nc = self.nbr_c[d, ur, uc]
-            any_adj_enemy = any_adj_enemy | (
-                enemy_occ[nr, nc] & self.nbr_ok[d, ur, uc]
-            )
+        adj_enemy = self._adjacent_any(enemy_occ)  # [R, C]
+        ur = take_small(state.row, uid)
+        uc = take_small(state.col, uid)
+        any_adj_enemy = take_small(adj_enemy.reshape(-1), ur * self.C + uc)
         new_status = jnp.where(any_adj_enemy, 1, 2)
-        return state.replace(status=state.status.at[uid].set(new_status))
+        return state.replace(
+            status=self._unit_set(state.status, uid, new_status)
+        )
 
     def _act_place(self, state, r, c, s_lvl, direction):
         """(ref play_action act 0, SCS_Game.py:572-580)."""
         del s_lvl, direction
         p = self.current_player(state)
-        slot = state.reinf_next[p]
+        slot = jnp.where(p == 0, state.reinf_next[0], state.reinf_next[1])
         uid = p * self.S + jnp.minimum(slot, self.S - 1)
         board = self._board_push(state.board, r, c, uid)
         return state.replace(
             board=board,
-            alive=state.alive.at[uid].set(True),
-            placed=state.placed.at[uid].set(True),
-            row=state.row.at[uid].set(r),
-            col=state.col.at[uid].set(c),
-            mov=state.mov.at[uid].set(self.u_allowance[uid]),
-            status=state.status.at[uid].set(0),
-            reinf_next=state.reinf_next.at[p].add(1),
+            alive=self._unit_set(state.alive, uid, True),
+            placed=self._unit_set(state.placed, uid, True),
+            row=self._unit_set(state.row, uid, r),
+            col=self._unit_set(state.col, uid, c),
+            mov=self._unit_set(
+                state.mov, uid, take_small(self.u_allowance, uid)
+            ),
+            status=self._unit_set(state.status, uid, 0),
+            reinf_next=state.reinf_next + (jnp.arange(2) == p),
         )
 
     def _act_move(self, state, r, c, s_lvl, direction):
         """(ref play_action act 1, SCS_Game.py:582-600)."""
-        uid = state.board[r, c, s_lvl]
+        uid = self._board_at(state.board, r, c, s_lvl)
         uid = jnp.maximum(uid, 0)
-        dr = self.nbr_r[direction, r, c]
-        dc = self.nbr_c[direction, r, c]
-        cost = self.t_cost[dr, dc]
+        rc = r * self.C + c
+        dr = take_small(self.nbr_r.reshape(6, -1), direction)
+        dr = take_small(dr, rc)
+        dc = take_small(self.nbr_c.reshape(6, -1), direction)
+        dc = take_small(dc, rc)
+        cost = take_small(self.t_cost.reshape(-1), dr * self.C + dc)
         board = self._board_remove(state.board, r, c, uid)
         board = self._board_push(board, dr, dc, uid)
-        new_mov = state.mov[uid] - cost
+        new_mov = take_small(state.mov, uid) - cost
         state = state.replace(
             board=board,
-            row=state.row.at[uid].set(dr),
-            col=state.col.at[uid].set(dc),
-            mov=state.mov.at[uid].set(new_mov),
+            row=self._unit_set(state.row, uid, dr),
+            col=self._unit_set(state.col, uid, dc),
+            mov=self._unit_set(state.mov, uid, new_mov),
         )
         # Auto-end movement when no tile is affordable anymore
-        # (consider_other_units=False; ref SCS_Game.py:596-600).
-        can_move = jnp.zeros((), bool)
-        for d in range(6):
-            ncost = self.t_cost[self.nbr_r[d, dr, dc], self.nbr_c[d, dr, dc]]
-            can_move = can_move | (
-                self.nbr_ok[d, dr, dc] & (new_mov - ncost >= 0)
-            )
-        return jax.lax.cond(
-            can_move, lambda s: s, lambda s: self._end_movement(s, uid), state
+        # (consider_other_units=False; ref SCS_Game.py:596-600): one lookup
+        # into the precomputed cheapest-neighbor-cost map.
+        can_move = (
+            new_mov - take_small(self.min_nbr_cost.reshape(-1), dr * self.C + dc)
+            >= 0
+        )
+        ended = self._end_movement(state, uid)
+        # Branchless select (a lax.cond whose both sides are cheap masked
+        # updates costs more in dispatch than it saves, and vmap would
+        # evaluate both branches anyway).
+        return jax.tree.map(
+            lambda a, b: jnp.where(can_move.reshape((1,) * a.ndim), a, b),
+            state,
+            ended,
         )
 
     def _act_choose_target(self, state, r, c, s_lvl, direction):
@@ -493,24 +572,26 @@ class SCSGame(Env):
 
     def _act_choose_attacker(self, state, r, c, s_lvl, direction):
         del direction
-        uid = jnp.maximum(state.board[r, c, s_lvl], 0)
+        uid = jnp.maximum(self._board_at(state.board, r, c, s_lvl), 0)
         return state.replace(
-            is_attacker=state.is_attacker.at[uid].set(True),
-            attacker_seq=state.attacker_seq.at[uid].set(state.n_attackers),
+            is_attacker=self._unit_set(state.is_attacker, uid, True),
+            attacker_seq=self._unit_set(
+                state.attacker_seq, uid, state.n_attackers
+            ),
             n_attackers=state.n_attackers + 1,
         )
 
     def _act_no_move(self, state, r, c, s_lvl, direction):
         del direction
-        uid = jnp.maximum(state.board[r, c, s_lvl], 0)
-        state = state.replace(status=state.status.at[uid].set(1))
+        uid = jnp.maximum(self._board_at(state.board, r, c, s_lvl), 0)
+        state = state.replace(status=self._unit_set(state.status, uid, 1))
         # _end_movement re-derives moved/attacked from adjacency:
         return self._end_movement(state, uid)
 
     def _act_no_fight(self, state, r, c, s_lvl, direction):
         del direction
-        uid = jnp.maximum(state.board[r, c, s_lvl], 0)
-        return state.replace(status=state.status.at[uid].set(2))
+        uid = jnp.maximum(self._board_at(state.board, r, c, s_lvl), 0)
+        return state.replace(status=self._unit_set(state.status, uid, 2))
 
     @staticmethod
     def _lexi_pick(cand, k1, k2, k3, order):
@@ -525,33 +606,38 @@ class SCSGame(Env):
 
     def _destroy(self, state, uid, do):
         """(ref destroy_unit, SCS_Game.py:982-995)."""
-        board = jax.lax.cond(
-            do,
-            lambda: self._board_remove(
-                state.board, state.row[uid], state.col[uid], uid
-            ),
-            lambda: state.board,
+        removed = self._board_remove(
+            state.board,
+            take_small(state.row, uid),
+            take_small(state.col, uid),
+            uid,
         )
-        return state.replace(
-            board=board, alive=state.alive.at[uid].set(~do & state.alive[uid])
+        board = jnp.where(do, removed, state.board)
+        alive = self._unit_set(
+            state.alive, uid, ~do & take_small(state.alive, uid)
         )
+        return state.replace(board=board, alive=alive)
 
     def _act_confirm(self, state, r, c, s_lvl, direction):
         """(ref resolve_combat, SCS_Game.py:997-1027)."""
         del r, c, s_lvl, direction
         tr, tc = state.target_row, state.target_col
+        trc = tr * self.C + tc
 
-        # Defense: sum of defenders' defense x target terrain modifier.
-        stack = state.board[tr, tc]  # [K]
-        present = stack >= 0
-        sdef = jnp.where(
-            present, self._unit_gather(self.u_defense, stack), 0.0
-        ).sum()
-        total_def = sdef * self.t_defense[tr, tc]
+        # Defenders = units sitting on the target tile — elementwise over
+        # the [U] unit table (gather-free; ref iterates the tile's unit
+        # list, SCS_Game.py:1000-1005).
+        on_target = (
+            (state.row == tr) & (state.col == tc) & state.placed & state.alive
+        )
+        sdef = jnp.where(on_target, self.u_defense, 0.0).sum()
+        total_def = sdef * take_small(self.t_defense.reshape(-1), trc)
 
         # Attack: each attacker's attack x its own tile's modifier.
         att = state.is_attacker & state.alive
-        atk_mod = self.t_attack[state.row, state.col]
+        atk_mod = take_small(
+            self.t_attack.reshape(-1), state.row * self.C + state.col
+        )
         total_att = jnp.where(att, self.u_attack * atk_mod, 0.0).sum()
 
         # All attackers end fighting BEFORE losses (ref :1016).
@@ -573,19 +659,24 @@ class SCSGame(Env):
         state = self._destroy(state, a_uid, attacker_losses)
 
         # Strongest defender: (defense, attack, allowance), stack order.
-        # Re-read the stack (attacker destruction can't touch the target
-        # tile: attackers are adjacent, not on it).
-        stack = state.board[tr, tc]
-        present = stack >= 0
+        # Re-read positions (attacker destruction can't touch the target
+        # tile: attackers are adjacent, not on it).  Stack order of unit u
+        # is its level in the target stack — derived elementwise from the
+        # [K] stack row instead of a scatter over the unit table.
         U = self.U
+        stack = take_small(
+            state.board.reshape(self.R * self.C, self.K), trc
+        )  # [K]
         d_cand = (
-            jnp.zeros(U, bool).at[jnp.maximum(stack, 0)].max(present)
-            & state.alive
+            (state.row == tr) & (state.col == tc) & state.placed & state.alive
         )
         stack_order = jnp.full(U, 10**6, jnp.int32)
-        stack_order = stack_order.at[jnp.maximum(stack, 0)].min(
-            jnp.where(present, jnp.arange(self.K), 10**6), mode="drop"
-        )
+        for k in range(self.K):
+            stack_order = jnp.where(
+                (self._iota_u == stack[k]) & (stack[k] >= 0),
+                jnp.minimum(stack_order, k),
+                stack_order,
+            )
         d_uid = self._lexi_pick(
             d_cand,
             self.u_defense,
@@ -726,15 +817,25 @@ class SCSGame(Env):
             ok = (idx < self.reinf_count[p]).astype(f)  # [3]
             slot = jnp.minimum(idx, S - 1)
             uid = p * S + slot
-            arrival = self.reinf_arrival[p, slot].astype(f) * ok[:, None, None]
+            arrival = (
+                take_small(self.reinf_arrival[p], slot).astype(f)
+                * ok[:, None, None]
+            )
             stats = jnp.stack(
-                [self.u_attack[uid], self.u_defense[uid], self.u_allowance[uid]],
+                [
+                    take_small(self.u_attack, uid),
+                    take_small(self.u_defense, uid),
+                    take_small(self.u_allowance, uid),
+                ],
                 axis=1,
             )  # [3, 3stats]
             stats_planes = (
                 arrival[:, None] * stats[:, :, None, None]
             )  # [3, 3, R, C]
-            turns_left = self.reinf_turn[p, slot].astype(f) - state.turn.astype(f)
+            turns_left = (
+                take_small(self.reinf_turn[p], slot).astype(f)
+                - state.turn.astype(f)
+            )
             importance = (turns_total - turns_left) / turns_total * ok  # [3]
             dur = jnp.broadcast_to(
                 importance[:, None, None, None], (N_REINF_SHOWN, 3, R, C)
@@ -748,9 +849,13 @@ class SCSGame(Env):
         present = lvl_uid >= 0
         safe = jnp.maximum(lvl_uid, 0)
         lvl_player = safe // S
-        lvl_status = state.status[safe]
+        lvl_status = take_small(state.status, safe)
         lvl_stats = jnp.stack(
-            [self.u_attack[safe], self.u_defense[safe], state.mov[safe]]
+            [
+                take_small(self.u_attack, safe),
+                take_small(self.u_defense, safe),
+                take_small(state.mov, safe),
+            ]
         )  # [3stat, R, C, K]
         pm = lvl_player[None] == jnp.arange(2)[:, None, None, None]  # [2,R,C,K]
         sm = lvl_status[None] == jnp.arange(N_STATUSES)[:, None, None, None]
@@ -761,13 +866,13 @@ class SCSGame(Env):
         chans.append(units.reshape(2 * N_STATUSES * K * N_STATS, R, C))
 
         target = (
-            jnp.zeros((R, C), f)
-            .at[state.target_row, state.target_col]
-            .set(state.has_target.astype(f))
-        )
+            (jnp.arange(R)[:, None] == state.target_row)
+            & (jnp.arange(C)[None, :] == state.target_col)
+            & state.has_target
+        ).astype(f)
         chans.append(target[None])
 
-        lvl_att = state.is_attacker[safe] & present
+        lvl_att = take_small(state.is_attacker, safe) & present
         chans.append(jnp.moveaxis(lvl_att, -1, 0).astype(f))
 
         sub = _stage_sub_phase(state.stage)
