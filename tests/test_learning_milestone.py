@@ -1,11 +1,19 @@
-"""Learning-milestone regression (BASELINE.md bar): a TTT agent reaches
->=95% non-loss vs random within a fixed step budget using the reference's
-best recipe (ref Games/Tic_Tac_Toe/models/best_ttt_config: 100 sims, SGD
-lr 0.1, window 5000, 4x1024 samples/step).
+"""Learning-milestone regression (BASELINE.md bar), pinned on the RAW
+POLICY NETWORK's strength — not the search wrapped around it: a 100-sim
+MCTS agent beats random from an UNTRAINED net (step-0 evals in the
+committed runs score ~1.00/0.98 non-loss), so MCTS-based asserts are a
+low bar.  The milestone asserts that the learned network alone reaches
+>=90% non-loss as P0 and >=70% as P1 vs random within the budget, that
+the MCTS agent holds >=95% on both seats, and that the loss halves.
 
-Slow (minutes of self-play + training): run with NUZERO_SLOW=1, e.g.
+Recipe: the reference's best TTT config (ref
+Games/Tic_Tac_Toe/models/best_ttt_config: 100 sims, SGD lr 0.1, window
+5000, 4x1024 samples/step) run for 2400 steps (configs/training/
+ttt_long.yaml; 9600 updates, crossing the first LR boundary).
+
+Slow (tens of minutes of self-play + training): run with NUZERO_SLOW=1:
     NUZERO_SLOW=1 python -m pytest tests/test_learning_milestone.py -q
-The committed run artifact runs/ttt_best_r2/ (journal + plots) is the
+The committed run artifact runs/ttt_long_r3/ (journal + plots) is the
 standing evidence; this test reproduces it end-to-end.
 """
 
@@ -18,45 +26,61 @@ pytestmark = pytest.mark.skipif(
     reason="slow learning run; set NUZERO_SLOW=1 to enable",
 )
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def test_ttt_reaches_95_percent_nonloss(tmp_path):
-    import jax
 
-    from nuzero_tpu.config import load_search_config, load_training_config
-    from nuzero_tpu.envs import TicTacToe
-    from nuzero_tpu.networks import MLPNetwork, NetworkManager
-    from nuzero_tpu.training import AlphaZero
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = load_training_config(
-        os.path.join(repo, "configs", "training", "ttt_default.yaml")
+def _assert_milestones(records):
+    """Shared asserts, applied to a freshly-run or committed journal."""
+    # Raw-policy network strength (the real milestone).
+    pol_hits = [
+        r
+        for r in records
+        if r.get("nonloss/policy_as_p0", 0) >= 0.90
+        and r.get("nonloss/policy_as_p1", 0) >= 0.70
+    ]
+    assert pol_hits, (
+        "raw policy never reached 90%/70% non-loss (P0/P1) vs random"
     )
-    search = load_search_config(
-        os.path.join(repo, "configs", "search", "ttt_search.yaml")
-    )
-    env = TicTacToe()
-    mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
-    az = AlphaZero(env, mgr, cfg, search, run_dir=str(tmp_path))
-    az.run(seed=0)
-
-    records = az.journal.load()
-    # The milestone: MCTS agent >=95% non-loss on both seats at some eval
-    # point within the budget (BASELINE.md).
-    hits = [
+    # Search-backed agent comfortably above the BASELINE bar on both seats.
+    mcts_hits = [
         r
         for r in records
         if r.get("nonloss/mcts_as_p0", 0) >= 0.95
         and r.get("nonloss/mcts_as_p1", 0) >= 0.95
     ]
-    assert hits, "MCTS agent never reached 95% non-loss on both seats"
-    # And the raw policy network itself must have LEARNED: policy loss
-    # drops well below uniform (ln 9 / ln 9 = 1.0 normalized) and the
-    # second-seat non-loss rate improves over the untrained baseline.
+    assert mcts_hits, "MCTS agent never reached 95% non-loss on both seats"
+    # And the optimization itself worked: policy loss halves.
     losses = [r["loss/policy"] for r in records if "loss/policy" in r]
     assert losses[-1] < 0.5 * losses[0]
-    p1_curve = [
-        r["nonloss/policy_as_p1"]
-        for r in records
-        if "nonloss/policy_as_p1" in r
-    ]
-    assert max(p1_curve[-3:]) > p1_curve[0] + 0.05
+
+
+def test_committed_run_meets_milestones():
+    """The committed artifact itself must satisfy the milestone — guards
+    against README/commit overclaim drift."""
+    import json
+
+    path = os.path.join(REPO, "runs", "ttt_long_r3", "journal.jsonl")
+    if not os.path.exists(path):
+        pytest.skip("no committed ttt_long_r3 artifact")
+    with open(path) as f:
+        records = [json.loads(line) for line in f]
+    _assert_milestones(records)
+
+
+def test_ttt_policy_network_learns(tmp_path):
+    from nuzero_tpu.config import load_search_config, load_training_config
+    from nuzero_tpu.envs import TicTacToe
+    from nuzero_tpu.networks import MLPNetwork, NetworkManager
+    from nuzero_tpu.training import AlphaZero
+
+    cfg = load_training_config(
+        os.path.join(REPO, "configs", "training", "ttt_long.yaml")
+    )
+    search = load_search_config(
+        os.path.join(REPO, "configs", "search", "ttt_search.yaml")
+    )
+    env = TicTacToe()
+    mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
+    az = AlphaZero(env, mgr, cfg, search, run_dir=str(tmp_path))
+    az.run(seed=0)
+    _assert_milestones(az.journal.load())
