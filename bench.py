@@ -170,7 +170,7 @@ def bench_scs():
     from nuzero_tpu.envs.scs import SCSGame, load_scenario
     from nuzero_tpu.networks import NetworkManager, RecurrentNet
 
-    batch = int(os.environ.get("BENCH_SCS_BATCH", 256))
+    batch = int(os.environ.get("BENCH_SCS_BATCH", 512))
     sims = int(os.environ.get("BENCH_SCS_SIMS", 30))
     reps = int(os.environ.get("BENCH_REPS", 3))
     trials = int(os.environ.get("BENCH_TRIALS", 4))

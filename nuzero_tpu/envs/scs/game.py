@@ -50,24 +50,10 @@ N_REINF_SHOWN = 3  # reinforcements represented in the state (ref :202)
 SUB_PHASES = 4
 
 
-def take_small(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """``table[idx]`` for a SMALL static first axis, as an unrolled select
-    chain.  TPU lowers per-element gathers to a serial custom call (~8 ns
-    per element + ~70 us fixed): the unit-table gathers in observe/legal
-    profiled at ~100 us per call at [B=256, R=C=5, K=2].  len(table)
-    static compares fuse into one elementwise VPU pass (~us).  ``idx``
-    must be in range (clamp first); trailing table axes broadcast.
-    """
-    flat = table.reshape(table.shape[0], -1) if table.ndim > 1 else table
-    out = jnp.zeros(idx.shape + flat.shape[1:], flat.dtype)
-    for k in range(table.shape[0]):
-        row = flat[k]
-        out = jnp.where(
-            (idx == k).reshape(idx.shape + (1,) * (flat.ndim - 1)), row, out
-        )
-    if table.ndim > 1:
-        return out.reshape(idx.shape + table.shape[1:])
-    return out
+# take_small: gather-free small-domain lookup (see ops/gather.py — the
+# unit-table gathers in observe/legal profiled at ~100 us per serialized
+# custom call at [B=256, R=C=5, K=2]; the select chain is ~us).
+from nuzero_tpu.ops.gather import take_small  # noqa: E402
 
 
 @struct.dataclass
@@ -196,6 +182,32 @@ class SCSGame(Env):
         cost_np = np.asarray(scenario.terrain_cost)
         nbr_cost = np.where(valid, cost_np[dst_r, dst_c], np.inf)
         self.min_nbr_cost = jnp.asarray(nbr_cost.min(0), jnp.float32)  # [R,C]
+        # Per-direction neighbor cost is a CONSTANT map — precompute it
+        # (legal_mask was re-gathering t_cost through the neighbor tables
+        # every call).
+        self.nbr_cost = jnp.asarray(
+            np.where(valid, cost_np[dst_r, dst_c], np.float32(np.inf)),
+            jnp.float32,
+        )  # [6, R, C]
+        # Neighbor reads as matmuls: mask[nbr_r, nbr_c] is a static-index
+        # gather that TPU lowers to a serial custom call (~218 us per call
+        # at 5x5 — it became 35% of the move after the masked-write
+        # rewrite).  A static permutation is a one-hot matrix, so neighbor
+        # reads become [6*R*C, R*C] @ [R*C] MXU matmuls and the
+        # any-neighbor reduction a single [R*C, R*C] @ [R*C].
+        n_t = R * C
+        nbr_mat = np.zeros((6, n_t, n_t), np.float32)
+        d_idx = np.arange(6)[:, None, None]
+        src_flat = (np.arange(R)[None, :, None] * C
+                    + np.arange(C)[None, None, :])
+        dst_flat = dst_r * C + dst_c
+        for d in range(6):
+            for rr in range(R):
+                for cc in range(C):
+                    if valid[d, rr, cc]:
+                        nbr_mat[d, rr * C + cc, dst_flat[d, rr, cc]] = 1.0
+        self._nbr_mat = jnp.asarray(nbr_mat.reshape(6 * n_t, n_t))
+        self._adj_mat = jnp.asarray(nbr_mat.sum(0))  # [R*C, R*C]
         # Static iotas for masked (gather-free) board updates.
         self._iota_r = jnp.arange(R)[:, None, None]
         self._iota_c = jnp.arange(C)[None, :, None]
@@ -220,8 +232,16 @@ class SCSGame(Env):
         return arr[jnp.maximum(uid, 0)]
 
     def _adjacent_any(self, mask):
-        """bool[R,C]: tile has any hex neighbor where ``mask`` is True."""
-        return (mask[self.nbr_r, self.nbr_c] & self.nbr_ok).any(0)
+        """bool[R,C]: tile has any hex neighbor where ``mask`` is True.
+        One [R*C, R*C] matmul (see _adj_mat)."""
+        flat = mask.reshape(-1).astype(jnp.float32)
+        return (self._adj_mat @ flat).reshape(self.R, self.C) > 0
+
+    def _nbr_values(self, x):
+        """f32[6, R, C]: each tile's neighbor value per direction (0 where
+        no valid neighbor).  One [6*R*C, R*C] matmul (see _nbr_mat)."""
+        flat = x.reshape(-1).astype(jnp.float32)
+        return (self._nbr_mat @ flat).reshape(6, self.R, self.C)
 
     def _unit_pos_mask(self, state, cond):
         """bool[R,C]: any unit with cond[uid] True sits on the tile."""
@@ -324,9 +344,9 @@ class SCSGame(Env):
         # All 6 directions x K levels in one stacked computation (the
         # per-direction Python loop was dispatch-bound).
         avail = lvl_mine & (lvl_status == 0)  # [R, C, K]
-        dcost = self.t_cost[self.nbr_r, self.nbr_c]  # [6, R, C]
-        dcount = count[self.nbr_r, self.nbr_c]
-        downer = owner[self.nbr_r, self.nbr_c]
+        dcost = self.nbr_cost  # [6, R, C] constant (inf where invalid)
+        dcount = self._nbr_values(count)  # matmul neighbor reads
+        downer = self._nbr_values(owner)
         ok = self.nbr_ok & (dcount < K) & (downer != opp)  # [6, R, C]
         can = (
             avail[None]  # [1, R, C, K]

@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from nuzero_tpu.ops.gather import pick_at, take_small
 from nuzero_tpu.search.tree import Tree, init_tree
 
 NEG_INF = jnp.float32(-1e9)
@@ -121,14 +122,17 @@ def _puct_scores(tree: Tree, node: jax.Array, params: SearchParams):
     — contiguous row slices.  The obvious alternative (gather each child
     node's stats through ``tree.child[node]``) is an [A]-wide gather the
     TPU executes element-serially: profiled at 1.3 ms per call at
-    [B=256, A=525], i.e. 77% of the entire search wall-clock."""
-    parent_visit = tree.visit[node].astype(jnp.float32)
+    [B=256, A=525], i.e. 77% of the entire search wall-clock.  Per-node
+    SCALAR reads go through take_small (a [N]-chain of selects) — a
+    one-element dynamic gather is a ~5 us serialized custom call, and the
+    descent loop issues several per iteration."""
+    parent_visit = take_small(tree.visit, node).astype(jnp.float32)
     c = _exploration_bias(parent_visit, params)
     child_visit = tree.child_visit[node].astype(jnp.float32)  # f32[A]
     child_vsum = tree.child_vsum[node]  # f32[A]
     q = jnp.where(child_visit > 0, child_vsum / jnp.maximum(child_visit, 1.0), 0.0)
     # Static values: +1 good for player 0.  Negate for player 1's choice.
-    sign = jnp.where(tree.to_play[node] == 1, -1.0, 1.0)
+    sign = jnp.where(take_small(tree.to_play, node) == 1, -1.0, 1.0)
     u = tree.prior[node] * jnp.sqrt(parent_visit) / (1.0 + child_visit) * c
     score = u + params.value_factor * sign * q
     return jnp.where(tree.legal[node], score, NEG_INF)
@@ -153,15 +157,22 @@ def _descend(tree: Tree, params: SearchParams, depth_cap: int):
         _, _, stop, _, _, _ = carry
         return ~stop
 
+    iota_depth = jnp.arange(depth_cap)
+
     def body(carry):
         node, _, _, path, acts, depth = carry
-        path = path.at[depth].set(node)
-        can_continue = tree.expanded[node] & ~tree.is_terminal[node]
+        # Masked writes/reads, not scalar DUS/gathers — each of those is
+        # a serialized custom call, and this body runs ~depth times per
+        # simulation (see _puct_scores note).
+        path = jnp.where(iota_depth == depth, node, path)
+        can_continue = take_small(tree.expanded, node) & ~take_small(
+            tree.is_terminal, node
+        )
         scores = _puct_scores(tree, node, params)
         action = jnp.argmax(scores).astype(jnp.int32)
         action = jnp.where(can_continue, action, 0)
-        acts = acts.at[depth].set(action)
-        child = tree.child[node, action]
+        acts = jnp.where(iota_depth == depth, action, acts)
+        child = pick_at(tree.child[node], action)
         # Cases: (a) node unexpanded/terminal -> stop here, no alloc;
         #        (b) chosen child missing -> stop, alloc;
         #        (c) chosen child exists -> continue from child.
@@ -184,9 +195,9 @@ def _descend(tree: Tree, params: SearchParams, depth_cap: int):
         ),
     )
     needs_alloc = (
-        tree.expanded[node]
-        & ~tree.is_terminal[node]
-        & (tree.child[node, action] == -1)
+        take_small(tree.expanded, node)
+        & ~take_small(tree.is_terminal, node)
+        & (pick_at(tree.child[node], action) == -1)
     )
     return node, action, needs_alloc, path, acts
 
@@ -239,9 +250,13 @@ def _backprop_path(
     stop_src = jnp.where(fresh & active, stop_node, jnp.int32(num_nodes))
     src_all = jnp.concatenate([src, stop_src[None]])
     act_all = jnp.concatenate([path_actions[:-1], sel_action[None]])
-    src_oh = jax.nn.one_hot(src_all, num_nodes, dtype=jnp.float32)  # [P, N]
-    act_oh = jax.nn.one_hot(act_all, A, dtype=jnp.float32)  # [P, A]
-    edge = jnp.einsum("pn,pa->na", src_oh, act_oh)
+    # bf16 operands: one-hot values are exact in bf16 and the [P,N]x[P,A]
+    # contraction runs on the MXU at 2-4x the f32 rate; accumulate in f32.
+    src_oh = jax.nn.one_hot(src_all, num_nodes, dtype=jnp.bfloat16)  # [P, N]
+    act_oh = jax.nn.one_hot(act_all, A, dtype=jnp.bfloat16)  # [P, A]
+    edge = jnp.einsum(
+        "pn,pa->na", src_oh, act_oh, preferred_element_type=jnp.float32
+    )
     child_visit = tree.child_visit + edge.astype(jnp.int32)
     child_vsum = tree.child_vsum + value * edge
     return tree.replace(
@@ -412,9 +427,11 @@ def make_search_fn(
 
             def write_alloc(t, idx, pnode, act, packed, do):
                 child = t.child.at[pnode, act].set(
-                    jnp.where(do, idx, t.child[pnode, act])
+                    jnp.where(do, idx, pick_at(t.child[pnode], act))
                 )
-                parent = t.parent.at[idx].set(jnp.where(do, pnode, t.parent[idx]))
+                parent = t.parent.at[idx].set(
+                    jnp.where(do, pnode, take_small(t.parent, idx))
+                )
                 # Masked-out games park the write in the (unallocated)
                 # next_free slot, which the next real allocation overwrites.
                 states = t.states.at[jnp.where(do, idx, t.next_free)].set(
@@ -467,8 +484,10 @@ def make_search_fn(
             )
             # Revisited terminal leaves: value must be their terminal value.
             value = jnp.where(
-                jax.vmap(lambda t, i: t.is_terminal[i])(tree, leaf),
-                jax.vmap(lambda t, i: t.terminal_value[i])(tree, leaf),
+                jax.vmap(lambda t, i: take_small(t.is_terminal, i))(tree, leaf),
+                jax.vmap(lambda t, i: take_small(t.terminal_value, i))(
+                    tree, leaf
+                ),
                 value,
             )
             tree = jax.vmap(_backprop_path)(
