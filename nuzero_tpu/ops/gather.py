@@ -22,10 +22,23 @@ CHAIN_LIMIT = 96
 
 
 def take_small(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """``table[idx]`` for a SMALL static first axis, as an unrolled select
-    chain.  ``idx`` must be in range (clamp first); trailing table axes
-    broadcast.  O(len(table)) fused compares per element — profitable up
-    to ~100 entries; larger tables fall back to a plain gather."""
+    """``table[idx]`` without a serialized gather.
+
+    - Scalar ``idx``: a masked reduction over the first axis — one fused
+      pass, ANY table size, constant HLO size.  (Under vmap the mask
+      batches to [B, N]; still one pass.)
+    - Array ``idx``: an unrolled select chain — O(len(table)) fused
+      compares per element, profitable up to ~100 entries; larger tables
+      fall back to a plain gather.
+
+    ``idx`` must be in range (clamp first); out-of-range yields 0.
+    Trailing table axes broadcast."""
+    idx = jnp.asarray(idx)
+    if idx.ndim == 0:
+        mask = (jnp.arange(table.shape[0]) == idx).reshape(
+            (-1,) + (1,) * (table.ndim - 1)
+        )
+        return jnp.where(mask, table, 0).sum(0).astype(table.dtype)
     if table.shape[0] > CHAIN_LIMIT:
         return table[idx]
     flat = table.reshape(table.shape[0], -1) if table.ndim > 1 else table
