@@ -48,6 +48,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compile cache: the tunnel TPU backend compiles the big
+# self-play program in minutes; identical re-runs then hit this cache.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import jax
 
 # bf16 peak of the bench chip.  TPU v5e: 197 TFLOP/s bf16 / 394 int8

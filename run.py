@@ -31,6 +31,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+# Persistent XLA compile cache (first compile of the self-play program can
+# take minutes on remote TPU backends; identical re-runs hit the cache).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")
+)
 RUNS = os.path.join(REPO, "runs")
 
 
