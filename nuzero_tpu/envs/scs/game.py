@@ -33,7 +33,7 @@ players {0,1} (the reference's check_termination semantics are unchanged:
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

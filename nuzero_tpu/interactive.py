@@ -21,7 +21,7 @@ All prompts accept empty input for the shown default.  ``input_fn`` /
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Callable
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
