@@ -7,9 +7,17 @@ low bar.  The milestone asserts that the learned network alone reaches
 the MCTS agent holds >=95% on both seats, and that the loss halves.
 
 Recipe: the reference's best TTT config (ref
-Games/Tic_Tac_Toe/models/best_ttt_config: 100 sims, SGD lr 0.1, window
-5000, 4x1024 samples/step) run for 2400 steps (configs/training/
-ttt_long.yaml; 9600 updates, crossing the first LR boundary).
+Games/Tic_Tac_Toe/models/best_ttt_config: 100 sims, SGD, window 5000,
+4x1024 samples/step) run for 2400 steps (configs/training/ttt_long.yaml;
+9600 updates) with TWO deliberate changes, both measured:
+- RecurrentNet instead of MLP: the reference's MLP applies ReLU after
+  the FINAL policy layer (MLP_Network.py:36-39, reproduced in
+  networks/mlp.py), so unfamiliar positions emit all-zero "logits" and
+  deterministic argmax ties arbitrarily — in a 200-game probe, all 119
+  raw-policy P1 losses vs random involved such ties.  The conv policy
+  head emits real logits.
+- lr 0.05 instead of 0.1: lr 0.1 collapses the quirk head to uniform
+  after ~700 steps (policy loss pinned at exactly 1.0 normalized).
 
 Slow (tens of minutes of self-play + training): run with NUZERO_SLOW=1:
     NUZERO_SLOW=1 python -m pytest tests/test_learning_milestone.py -q
@@ -59,9 +67,9 @@ def test_committed_run_meets_milestones():
     against README/commit overclaim drift."""
     import json
 
-    path = os.path.join(REPO, "runs", "ttt_long_r3", "journal.jsonl")
+    path = os.path.join(REPO, "runs", "ttt_long_r3c", "journal.jsonl")
     if not os.path.exists(path):
-        pytest.skip("no committed ttt_long_r3 artifact")
+        pytest.skip("no committed ttt_long_r3c artifact")
     with open(path) as f:
         records = [json.loads(line) for line in f]
     _assert_milestones(records)
@@ -70,7 +78,7 @@ def test_committed_run_meets_milestones():
 def test_ttt_policy_network_learns(tmp_path):
     from nuzero_tpu.config import load_search_config, load_training_config
     from nuzero_tpu.envs import TicTacToe
-    from nuzero_tpu.networks import MLPNetwork, NetworkManager
+    from nuzero_tpu.networks import NetworkManager, RecurrentNet
     from nuzero_tpu.training import AlphaZero
 
     cfg = load_training_config(
@@ -80,7 +88,13 @@ def test_ttt_policy_network_learns(tmp_path):
         os.path.join(REPO, "configs", "search", "ttt_search.yaml")
     )
     env = TicTacToe()
-    mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
+    net = RecurrentNet(
+        policy_channels=env.action_space_shape[0],
+        num_filters=64,
+        num_blocks=2,
+        hex=False,
+    )
+    mgr = NetworkManager(net, env.observation_shape)
     az = AlphaZero(env, mgr, cfg, search, run_dir=str(tmp_path))
     az.run(seed=0)
     _assert_milestones(az.journal.load())
