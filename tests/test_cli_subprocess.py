@@ -10,7 +10,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, stdin=None, timeout=300):
+def _run(args, stdin=None, timeout=600):  # generous: jax import + eager
+    # dispatch take ~1 min alone, and CI machines run other load.
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     return subprocess.run(
         [sys.executable, "run.py", *args],
