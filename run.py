@@ -223,15 +223,19 @@ def testing_preset(idx: int, name):
     elif idx == 2:
         env = _scs_env("solo_scout_5.yml")
         manager = _managers(env, "recurrent")
-        run_dir = os.path.join(RUNS, name or "scs_solo_net")
-        tree, step = restore_checkpoint(os.path.join(run_dir, "checkpoints"), "auto")
+        run_name = name or "scs_solo_net"
+        run_dir = os.path.join(RUNS, run_name)
+        _, step = restore_checkpoint(os.path.join(run_dir, "checkpoints"), "auto")
         tm = TestManager(env)
+        # The trained net plays PLAYER 1 (the reference's "p2"): in the
+        # solo-scout scenario only p2 owns a unit, so the sweep measures
+        # the scout's goal-reaching rate vs test-time iterations.
         cfg = {
             "Test": {
                 "test_type": "data",
                 "Data": {
                     "Variable": {
-                        "changing_agent": 1,
+                        "changing_agent": 2,
                         "changing_parameter": {
                             "name": "iterations",
                             "Range": {"first": 2, "last": 20, "step": 2},
@@ -241,19 +245,24 @@ def testing_preset(idx: int, name):
                 },
             },
             "Agents": {
-                "p1_agent": {
+                "p1_agent": {"agent_type": "random"},
+                "p2_agent": {
                     "agent_type": "policy",
-                    "Network": {"recurrent_iterations": 2, "load_checkpoint": False},
+                    "Network": {
+                        "recurrent_iterations": 2,
+                        # Load the run's latest checkpoint through the
+                        # normal Testing-YAML mechanism (the agents are
+                        # built INSIDE test_from_config).
+                        "load_checkpoint": True,
+                        "Checkpoint": {
+                            "cp_network_name": run_name,
+                            "cp_number": "auto",
+                        },
+                    },
                 },
-                "p2_agent": {"agent_type": "random"},
             },
         }
-        agent_params = tree["params"]
-        manager_agent = tm.create_agent_from_config(
-            cfg["Agents"]["p1_agent"], manager
-        )
-        manager_agent.set_network(agent_params)
-        results = tm.test_from_config(cfg, manager=manager)
+        results = tm.test_from_config(cfg, manager=manager, game_dir=RUNS)
         print(results)
         # Save the extrapolation curve beside the run's other plots
         # (ref Plots/PlotMaker.py iteration curves).
@@ -264,6 +273,7 @@ def testing_preset(idx: int, name):
             os.path.join(run_dir, "plots", "iteration_sweep.png"),
             title=f"{name or 'scs_solo_net'} step {step}: win rate vs "
             "recurrent iterations",
+            seat=1,
         )
         print(f"sweep plot written to {out}")
     else:
