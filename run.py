@@ -264,8 +264,27 @@ def testing_preset(idx: int, name):
         }
         results = tm.test_from_config(cfg, manager=manager, game_dir=RUNS)
         print(results)
-        # Save the extrapolation curve beside the run's other plots
-        # (ref Plots/PlotMaker.py iteration curves).
+        # Save the extrapolation curve (data + plot) beside the run's
+        # other plots (ref Plots/PlotMaker.py iteration curves + the
+        # pickled _graph_data the reference keeps for replotting).
+        import json
+
+        os.makedirs(os.path.join(run_dir, "plots"), exist_ok=True)
+        with open(
+            os.path.join(run_dir, "plots", "iteration_sweep.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "checkpoint_step": step,
+                    "results": [
+                        {"iterations": v, "p0_wr": wr[0], "p1_wr": wr[1],
+                         "draw_rate": wr[2]}
+                        for v, wr in results
+                    ],
+                },
+                f,
+                indent=1,
+            )
         from nuzero_tpu.utils.plots import plot_iteration_sweep
 
         out = plot_iteration_sweep(
