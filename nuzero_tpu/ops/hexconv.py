@@ -165,6 +165,37 @@ def get_hexconv_backend() -> str:
     return _HEXCONV_BACKEND
 
 
+def _hex_conv_xla_nhwc(x: jax.Array, weights: jax.Array) -> jax.Array:
+    return hex_conv(x, weights, data_format="NHWC", precision=None)
+
+
+@jax.custom_vjp
+def _hex_conv_pallas_ad(x: jax.Array, weights: jax.Array) -> jax.Array:
+    """Pallas forward with XLA-derived gradients.
+
+    The fused kernel has no native reverse-mode rule; both backends
+    compute the SAME function, so the backward pass runs through the
+    dual-conv XLA formulation's VJP.  Without this, training any model on
+    a board past the Pallas crossover (H*W >= 100 — exactly the 10x10+
+    maps the reference's experiments use) failed to differentiate."""
+    from nuzero_tpu.ops.pallas.hexconv_kernel import hex_conv_pallas
+
+    return hex_conv_pallas(x, weights)
+
+
+def _hex_conv_pallas_fwd(x, weights):
+    return _hex_conv_pallas_ad(x, weights), (x, weights)
+
+
+def _hex_conv_pallas_bwd(res, g):
+    x, weights = res
+    _, vjp = jax.vjp(_hex_conv_xla_nhwc, x, weights)
+    return vjp(g)
+
+
+_hex_conv_pallas_ad.defvjp(_hex_conv_pallas_fwd, _hex_conv_pallas_bwd)
+
+
 def hex_conv_dispatch(x: jax.Array, weights: jax.Array) -> jax.Array:
     """NHWC hex conv through the active backend (HexConv's entry point).
 
@@ -176,10 +207,8 @@ def hex_conv_dispatch(x: jax.Array, weights: jax.Array) -> jax.Array:
         H, W = x.shape[1], x.shape[2]
         backend = "pallas" if H * W >= _PALLAS_MIN_PIXELS else "xla"
     if backend == "pallas" and jax.default_backend() == "tpu":
-        from nuzero_tpu.ops.pallas.hexconv_kernel import hex_conv_pallas
-
-        return hex_conv_pallas(x, weights)
-    return hex_conv(x, weights, data_format="NHWC", precision=None)
+        return _hex_conv_pallas_ad(x, weights)
+    return _hex_conv_xla_nhwc(x, weights)
 
 
 def hex_conv_depthwise(
