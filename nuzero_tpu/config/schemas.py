@@ -88,6 +88,11 @@ class TestingFrequencyConfig:
     num_policy_test_games: int = 100
     num_mcts_test_games: int = 100
     test_game_index: int = 0
+    # Extension over the reference (whose in-loop tests are vs random only,
+    # AlphaZero.py:596-645): also evaluate against the scripted GoalRush
+    # baseline each test step — the meaningful strength yardstick on
+    # contested SCS maps.  Journals wr/*_vs_gr_* series.  SCS-only.
+    goal_rush_opponent: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,6 +234,7 @@ def training_config_from_dict(d: dict) -> TrainingConfig:
             num_policy_test_games=g("Testing", "num_policy_test_games"),
             num_mcts_test_games=g("Testing", "num_mcts_test_games"),
             test_game_index=g("Testing", "test_game_index"),
+            goal_rush_opponent=g("Testing", "goal_rush_opponent"),
         ),
     )
     plotting = section(

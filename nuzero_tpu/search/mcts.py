@@ -96,6 +96,8 @@ class SearchResults:
     tree_nodes: jax.Array  # i32[B] allocated node count (stats parity:
     # ref Gamer.py:42-92 per-game tree-size stats)
     exploration_bias: jax.Array  # f32[B] final root bias (ref Explorer.py:63)
+    children_per_node: jax.Array  # f32[B] avg materialized children per
+    # allocated node (ref Gamer.py:42-92 "average children" per-game stat)
 
 
 def _masked_priors(logits: jax.Array, legal: jax.Array) -> jax.Array:
@@ -541,6 +543,13 @@ def make_search_fn(
         root_value = tree.value_sum[:, 0] / jnp.maximum(
             root_visits.astype(jnp.float32), 1.0
         )
+        # Avg materialized children per allocated node (one [B, N]
+        # reduction per MOVE, not per simulation — negligible).
+        alloc = jnp.arange(num_nodes)[None, :] < tree.next_free[:, None]
+        n_children = ((tree.child != -1).sum(-1) * alloc).sum(-1)
+        children_per_node = n_children / jnp.maximum(
+            tree.next_free.astype(jnp.float32), 1.0
+        )
         results = SearchResults(
             action=action,
             policy_target=policy_target,
@@ -550,6 +559,7 @@ def make_search_fn(
             exploration_bias=_exploration_bias(
                 root_visits.astype(jnp.float32), params
             ),
+            children_per_node=children_per_node,
         )
         if with_tree:
             return results, tree

@@ -309,6 +309,11 @@ class AlphaZero:
         self._mcts_agent = MctsAgent(
             manager, None, search_params, test_iters
         )
+        self._goal_rush_agent = None
+        if train_config.testing.goal_rush_opponent:
+            from nuzero_tpu.evaluation import GoalRushAgent
+
+            self._goal_rush_agent = GoalRushAgent()
         # Asynchronous testing (ref RemoteTestManager +
         # AlphaZero.py:347-349,613-627,1268-1280): eval batches run on a
         # host worker thread and are harvested without blocking training.
@@ -322,6 +327,7 @@ class AlphaZero:
             self._test_executor = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="nuzero-eval"
             )
+        self._sp_batches = 0  # move-batches launched this step (throughput)
         self.buffer = replay_lib.create_buffer(
             train_config.learning.replay_window_size,
             self.trajectory_length,
@@ -331,15 +337,41 @@ class AlphaZero:
 
     # -- phases --------------------------------------------------------------
 
+    # How many in-flight move-batches the host runs ahead of the device.
+    # int() on a batch's finished-count forces a device->host round trip;
+    # syncing on the count from PIPELINE_DEPTH batches ago instead of the
+    # batch just launched keeps the device queue full (the round-3 profile
+    # showed the per-move sync costing real training throughput vs
+    # bench.py's pure device loop).
+    PIPELINE_DEPTH = 3
+
     def _selfplay_until(self, state, sp, step_fn, target_games: int,
                         progress=None):
-        """Run lockstep move-batches until ``target_games`` finish."""
+        """Run lockstep move-batches until ``target_games`` finish.
+
+        The finished-count the loop condition reads lags PIPELINE_DEPTH
+        batches behind the device, so up to that many extra move-batches
+        run past the target — they land in the buffer and are counted in
+        the returned total (the reference's actor pool overshoots the
+        same way: every in-flight Gamer finishes its game,
+        ``AlphaZero.py:525-577``)."""
+        from collections import deque
+
         done = 0
         stats = {}
+        pending: deque = deque()
         while done < target_games:
             sp, finished, stats = step_fn(state.params, sp)
+            self._sp_batches += 1
             self.buffer = self.add_games(self.buffer, finished)
-            n = int(stats["finished"])
+            pending.append(stats["finished"])
+            if len(pending) > self.PIPELINE_DEPTH:
+                n = int(pending.popleft())
+                done += n
+                if progress is not None and n:
+                    progress(n)
+        for f in pending:
+            n = int(f)
             done += n
             if progress is not None and n:
                 progress(n)
@@ -458,25 +490,33 @@ class AlphaZero:
         cfg = self.cfg.testing
         out = {}
 
-        def run(agent, n_games, tag, seed):
+        def run(agent, n_games, tag, seed, opponent=None, suffix=""):
+            opponent = opponent or self._random_agent
             agent.set_network(params)
             s_p0 = self.test_manager.run_test_batch(
-                n_games, agent, self._random_agent,
+                n_games, agent, opponent,
                 jax.random.key(seed), show_results=False,
             )
             s_p1 = self.test_manager.run_test_batch(
-                n_games, self._random_agent, agent,
+                n_games, opponent, agent,
                 jax.random.key(seed + 1), show_results=False,
             )
-            out[f"wr/{tag}_as_p0"] = s_p0.p0_win_rate
-            out[f"wr/{tag}_as_p1"] = s_p1.p1_win_rate
-            out[f"nonloss/{tag}_as_p0"] = 1.0 - s_p0.p1_win_rate
-            out[f"nonloss/{tag}_as_p1"] = 1.0 - s_p1.p0_win_rate
+            out[f"wr/{tag}{suffix}_as_p0"] = s_p0.p0_win_rate
+            out[f"wr/{tag}{suffix}_as_p1"] = s_p1.p1_win_rate
+            out[f"nonloss/{tag}{suffix}_as_p0"] = 1.0 - s_p0.p1_win_rate
+            out[f"nonloss/{tag}{suffix}_as_p1"] = 1.0 - s_p1.p0_win_rate
 
+        gr = self._goal_rush_agent
         if cfg.policy_test_frequency and step % cfg.policy_test_frequency == 0:
             run(self._policy_agent, cfg.num_policy_test_games, "policy", 2 * step)
+            if gr is not None:
+                run(self._policy_agent, cfg.num_policy_test_games, "policy",
+                    2 * step + 10_000_001, opponent=gr, suffix="_vs_gr")
         if cfg.mcts_test_frequency and step % cfg.mcts_test_frequency == 0:
             run(self._mcts_agent, cfg.num_mcts_test_games, "mcts", 2 * step + 1)
+            if gr is not None:
+                run(self._mcts_agent, cfg.num_mcts_test_games, "mcts",
+                    2 * step + 10_000_002, opponent=gr, suffix="_vs_gr")
         return out
 
     def _tests_due(self, step: int) -> bool:
@@ -630,6 +670,7 @@ class AlphaZero:
         trace_at = starting_step + 2
         for step in range(starting_step + 1, cfg.running.training_steps + 1):
             t0 = time.time()
+            self._sp_batches = 0
             if trace_dir and step == trace_at:
                 jax.profiler.start_trace(trace_dir)
             if sequential:
@@ -652,15 +693,28 @@ class AlphaZero:
                 # round-robin over game types).
                 games = 0
                 with timers.phase("selfplay"):
+                    from collections import deque
+
+                    pending: deque = deque()
                     while True:
                         for t in range(T):
                             sps[t], finished, sp_stats = self.sp_steps[t](
                                 state.params, sps[t]
                             )
+                            self._sp_batches += 1
                             self.buffer = self.add_games(self.buffer, finished)
-                            games += int(sp_stats["finished"])
+                            pending.append(sp_stats["finished"])
+                        # Pipelined sync (see _selfplay_until): pace the
+                        # host to the device by blocking on the count from
+                        # PIPELINE_DEPTH batches ago, not the one just
+                        # launched — otherwise wall-clock pacing would let
+                        # the host enqueue unboundedly far ahead.
+                        while len(pending) > self.PIPELINE_DEPTH:
+                            games += int(pending.popleft())
                         if time.time() - t0 >= cfg.running.update_delay:
                             break
+                    for f in pending:
+                        games += int(f)
 
             rng, k_t = jax.random.split(rng)
             updates_before = int(state.step)
@@ -686,8 +740,25 @@ class AlphaZero:
                 "selfplay/tree_full_frac": float(
                     sp_stats.get("tree_full_frac", 0.0)
                 ),
+                # Avg materialized children per allocated tree node (ref
+                # Gamer per-game MCTS stats, Training/Gamer.py:42-92).
+                "selfplay/children_per_node": float(
+                    sp_stats.get("children_per_node_mean", np.nan)
+                ),
                 "step_time_s": time.time() - t0,
             }
+            # Training-loop search throughput: MCTS-backed env-steps/s over
+            # this step's self-play phase — directly comparable to
+            # bench.py's pure-device-loop number (the gap is host overhead;
+            # see PIPELINE_DEPTH).
+            sp_time = timers._last.get("selfplay", 0.0)
+            if self._sp_batches and sp_time > 0:
+                record["selfplay/env_steps_per_s"] = round(
+                    self._sp_batches
+                    * cfg.running.num_actors
+                    * self.search_params.num_simulations
+                    / sp_time
+                )
             for k, v in tr_metrics.items():
                 if k.startswith("loss/type"):
                     record[k] = float(v)

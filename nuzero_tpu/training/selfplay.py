@@ -196,6 +196,7 @@ def make_selfplay_step(
             # never silent; raise SearchParams.tree_capacity if > 0).
             "tree_full_frac": (res.tree_nodes >= tree_cap).mean(),
             "exploration_bias_mean": res.exploration_bias.mean(),
+            "children_per_node_mean": res.children_per_node.mean(),
         }
         new_sp = SelfplayState(
             games=games,

@@ -138,11 +138,16 @@ def _train(env, manager, train_cfg_file, search_cfg_file, name=None,
     print(f"run complete; artifacts in {run_dir}")
 
 
-def training_preset(idx: int, name):
+def training_preset(idx: int, name, train_cfg=None, search_cfg=None):
+    """``train_cfg``/``search_cfg`` override the preset's config files
+    (--train-config/--search-config; the reference hard-wires preset
+    configs, ref Run.py:92-190 — the override keeps one preset per
+    game/model family instead of one per experiment)."""
     if idx == 0:
         env = _ttt_env()
         _train(
-            env, _managers(env, "mlp"), "ttt_default.yaml", "ttt_search.yaml",
+            env, _managers(env, "mlp"),
+            train_cfg or "ttt_default.yaml", search_cfg or "ttt_search.yaml",
             name, meta=dict(game="ttt", arch="mlp", hex=False),
         )
     elif idx == 1:
@@ -150,8 +155,8 @@ def training_preset(idx: int, name):
         _train(
             env,
             _managers(env, "recurrent", hex=False),
-            "ttt_default.yaml",
-            "ttt_search.yaml",
+            train_cfg or "ttt_default.yaml",
+            search_cfg or "ttt_search.yaml",
             name or "ttt_recurrent",
             meta=dict(game="ttt", arch="recurrent", hex=False),
         )
@@ -164,8 +169,8 @@ def training_preset(idx: int, name):
         _train(
             env,
             _managers(env, "recurrent"),
-            "scs_small.yaml",
-            "scs_search.yaml",
+            train_cfg or "scs_small.yaml",
+            search_cfg or "scs_search.yaml",
             name,
             state_set=mirrored_state_set(env),
             meta=dict(game="scs", arch="recurrent",
@@ -178,8 +183,8 @@ def training_preset(idx: int, name):
         _train(
             env,
             _managers(env, "recurrent"),
-            "scs_small.yaml",
-            "scs_search.yaml",
+            train_cfg or "scs_small.yaml",
+            search_cfg or "scs_search.yaml",
             name or "scs_solo_net",
             state_set=solo_state_set(env),
             meta=dict(game="scs", arch="recurrent",
@@ -433,6 +438,16 @@ def main():
     parser.add_argument("--name", type=str, default=None,
                         help="run/network name override")
     parser.add_argument(
+        "--train-config", type=str, default=None,
+        help="training-config filename under configs/training/ "
+        "(overrides the preset's default)",
+    )
+    parser.add_argument(
+        "--search-config", type=str, default=None,
+        help="search-config filename under configs/search/ "
+        "(overrides the preset's default)",
+    )
+    parser.add_argument(
         "--cache",
         choices=["dict", "keyless", "disabled"],
         default="disabled",
@@ -442,7 +457,10 @@ def main():
     args = parser.parse_args()
 
     if args.training_preset is not None:
-        training_preset(args.training_preset, args.name)
+        training_preset(
+            args.training_preset, args.name,
+            train_cfg=args.train_config, search_cfg=args.search_config,
+        )
     elif args.testing_preset is not None:
         if args.view and args.testing_preset == 1:
             live_goalrush()
