@@ -85,8 +85,31 @@ def board_sides(cols: int) -> Tuple[int, int]:
     return max(0, left_index - 1), min(cols - 1, right_index + 1)
 
 
-def load_scenario(path: str, seed=None) -> Scenario:
-    return scenario_from_dict(load_yaml(path), seed)
+def load_scenario(path: str, seed=None, board_size=None, turns=None) -> Scenario:
+    """``board_size``/``turns`` override the YAML's Board_dimensions/Turns
+    — the board-size-transfer experiment (nets trained on small maps
+    evaluated on larger ones, ref ``Plots/sizes/*.png`` +
+    ``Plots/PlotMaker.py:20-35``) resizes one scenario family instead of
+    shipping a YAML per size the way the reference did."""
+    data = load_yaml(path)
+    if board_size is not None:
+        data = dict(data)
+        data["Board_dimensions"] = {
+            "rows": int(board_size), "columns": int(board_size)
+        }
+    if turns is not None:
+        data = dict(data)
+        data["Turns"] = int(turns)
+        # The reinforcement schedule carries turns + 1 entries (turn 0 =
+        # initial placement): pad with empty turns / trim to match.
+        reinf = data.get("Reinforcements")
+        if reinf and "schedule" in reinf:
+            schedule = {
+                p: (list(lists) + [[]] * (int(turns) + 1))[: int(turns) + 1]
+                for p, lists in reinf["schedule"].items()
+            }
+            data["Reinforcements"] = dict(reinf, schedule=schedule)
+    return scenario_from_dict(data, seed)
 
 
 def scenario_from_dict(data, seed=None) -> Scenario:

@@ -157,12 +157,21 @@ class TestManager:
         manager=None,
         game_dir: Optional[str] = None,
         seed: int = 0,
+        env_factory=None,
     ):
         """Run the test described by a Testing YAML (path or dict).
 
         Data tests return a list of
         ``(parameter_value, (p0_wr, p1_wr, draw_rate))`` points.
-        """
+
+        Changing parameters: ``iterations`` (recurrent test-time count) and
+        ``checkpoints`` sweep the target agent (ref
+        ``TestManager.py:206-263``); ``board_size`` — beyond the reference,
+        whose size experiments were hand-run per-size YAMLs
+        (``Plots/sizes``) — rebuilds the env per value via ``env_factory(
+        size) -> env`` and replays BOTH agents on it (the
+        fully-convolutional nets re-jit per shape; checkpoint params
+        transfer unchanged)."""
         cfg = load_yaml(config) if isinstance(config, str) else config
         test = cfg["Test"]
         agents_cfg = cfg["Agents"]
@@ -204,6 +213,15 @@ class TestManager:
                 )
                 tree, _ = restore_checkpoint(ck_root, value)
                 target.set_network(tree["params"])
+            elif param_name == "board_size":
+                if env_factory is None:
+                    raise ValueError(
+                        "board_size sweeps need env_factory(size) -> env"
+                    )
+                self.env = env_factory(value)
+                # New env: drop compiled arenas; agent policies re-key on
+                # the new env object automatically (Agent.policy cache).
+                self._arenas = {}
 
             wins0 = wins1 = draws = total = 0
             for _ in range(num_runs):

@@ -45,21 +45,28 @@ class HexConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_features = x.shape[-1]
         # Same fan-in/out variance scaling torch uses for convs (kaiming
-        # uniform over 7-tap receptive field).
+        # uniform over 7-tap receptive field).  Params stay in
+        # ``param_dtype`` (f32 master weights); ``dtype`` is the COMPUTE
+        # dtype — bf16 runs the conv on the MXU at the fast rate with f32
+        # accumulation (hex_conv's preferred_element_type), the standard
+        # TPU mixed-precision split (flax's dtype/param_dtype convention).
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
             (7, in_features, self.features),
-            self.dtype,
+            self.param_dtype,
         )
         # Backend chosen by measurement (see ops/hexconv.py docnotes +
         # bench_hexconv.py); override with NUZERO_HEXCONV_BACKEND.
-        return hex_conv_dispatch(x.astype(self.dtype), w)
+        return hex_conv_dispatch(
+            x.astype(self.dtype), w.astype(self.dtype)
+        )
 
 
 class Conv(nn.Module):
@@ -161,6 +168,7 @@ class HexDepthwiseConv(nn.Module):
     of C ``hexagdly.Conv2d(1,1)`` layers; here one grouped XLA conv)."""
 
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -169,9 +177,11 @@ class HexDepthwiseConv(nn.Module):
             "kernel",
             nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
             (7, channels),
-            self.dtype,
+            self.param_dtype,
         )
-        return hex_conv_depthwise(x.astype(self.dtype), w, data_format="NHWC")
+        return hex_conv_depthwise(
+            x.astype(self.dtype), w.astype(self.dtype), data_format="NHWC"
+        )
 
 
 class DepthwiseConv(nn.Module):

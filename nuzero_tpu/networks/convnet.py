@@ -29,4 +29,4 @@ class ConvNet(nn.Module):
             self.num_filters, self.policy_channels, hex=self.hex, dtype=self.dtype
         )(x, train)
         v = ReduceValueHead(self.num_filters, hex=self.hex, dtype=self.dtype)(x, train)
-        return p, v
+        return p.astype(jnp.float32), v.astype(jnp.float32)

@@ -126,4 +126,6 @@ class RecurrentNet(nn.Module):
             dtype=self.dtype,
         )(thought, train)
 
-        return (p, v), thought
+        # Heads hand back f32 regardless of the compute dtype: losses,
+        # mcts priors, and value targets all consume f32.
+        return (p.astype(jnp.float32), v.astype(jnp.float32)), thought

@@ -62,4 +62,4 @@ class ResNet(nn.Module):
             hex=self.hex,
             dtype=self.dtype,
         )(x, train)
-        return p, v
+        return p.astype(jnp.float32), v.astype(jnp.float32)

@@ -44,29 +44,64 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _to_global(x, sharding: NamedSharding):
+    """Commit a host/local value to a (possibly cross-process) sharding.
+
+    Single-process: plain ``device_put``.  Multi-controller:
+    ``device_put`` onto a sharding that spans non-addressable devices is
+    illegal, so the value goes through
+    ``jax.make_array_from_process_local_data`` with the FULL global shape —
+    every process passes the same full-size host value (callers compute
+    initial state deterministically from the run seed, so all processes
+    agree) and JAX slices out each process's addressable shards.
+    """
+    if jax.process_count() > 1:
+        import jax.numpy as jnp
+
+        dtype = getattr(x, "dtype", None)
+        if dtype is not None and jnp.issubdtype(dtype, jax.dtypes.prng_key):
+            # Typed PRNG keys can't cross the host boundary directly:
+            # place the raw key data (same leading-axis sharding; the
+            # trailing key-data dims stay unsharded) and re-wrap.
+            impl = jax.random.key_impl(x)
+            data = np.asarray(jax.random.key_data(x))
+            g = jax.make_array_from_process_local_data(
+                sharding, data, data.shape
+            )
+            return jax.random.wrap_key_data(g, impl=impl)
+        x_np = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x_np, x_np.shape
+        )
+    return jax.device_put(x, sharding)
+
+
 def place_replicated(tree: Any, mesh: Mesh) -> Any:
-    """device_put every leaf replicated over the mesh (params, opt state)."""
+    """Place every leaf replicated over the mesh (params, opt state)."""
     repl = replicate(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, repl), tree)
+    return jax.tree.map(lambda x: _to_global(x, repl), tree)
 
 
 def place_batch_sharded(tree: Any, mesh: Mesh) -> Any:
-    """device_put leaves sharded on their leading (game/batch) axis when it
+    """Place leaves sharded on their leading (game/batch) axis when it
     divides the mesh; scalars and indivisible leaves are replicated.
 
     This is the committed-input placement for the self-play state and the
     replay buffer: each device owns its shard of games — the moral
     equivalent of the reference's ``SPREAD`` Ray actors
-    (``Training/Gamer.py:17``) but inside one XLA program.
+    (``Training/Gamer.py:17``) but inside one XLA program (and, across
+    hosts, the equivalent of the reference's multi-node Ray cluster,
+    ``SLURM/slurm-template.sh:52-63``).
     """
     repl = replicate(mesh)
     shard = shard_batch(mesh)
     n_dev = mesh.size
 
     def put(x):
-        x = jax.numpy.asarray(x)
+        if getattr(x, "shape", None) is None:
+            x = np.asarray(x)
         if x.ndim >= 1 and x.shape[0] > 0 and x.shape[0] % n_dev == 0:
-            return jax.device_put(x, shard)
-        return jax.device_put(x, repl)
+            return _to_global(x, shard)
+        return _to_global(x, repl)
 
     return jax.tree.map(put, tree)

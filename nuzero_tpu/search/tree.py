@@ -177,3 +177,54 @@ def reroot(tree: Tree, action: jax.Array) -> tuple[Tree, jax.Array]:
         next_free=jnp.where(ok, n_live, jnp.int32(1)),
     )
     return new_tree, ok
+
+
+def print_tree(tree: Tree, game_idx=None, max_children: int = 8,
+               file=None) -> str:
+    """Host-side debug dump of one game's array tree (ref the reference's
+    recursive ``Explorer.print_tree``, ``Search/Explorer.py:216``).
+
+    ``tree`` is a single-game Tree, or a vmapped batch with ``game_idx``
+    selecting the game.  Prints a depth-indented listing of the allocated
+    nodes: visits, mean value, prior, terminal flag — and returns it.
+    """
+    import numpy as np
+
+    if game_idx is not None:
+        tree = jax.tree.map(lambda x: x[game_idx], tree)
+    visit = np.asarray(tree.visit)
+    vsum = np.asarray(tree.value_sum)
+    child = np.asarray(tree.child)
+    prior = np.asarray(tree.prior)
+    to_play = np.asarray(tree.to_play)
+    term = np.asarray(tree.is_terminal)
+    n_alloc = int(tree.next_free)
+
+    lines = [f"tree: {n_alloc} allocated nodes / {visit.shape[0]} capacity"]
+
+    def rec(node, depth, via_action, via_prior):
+        q = vsum[node] / max(int(visit[node]), 1)
+        tag = " TERMINAL" if term[node] else ""
+        via = f"a={via_action} p={via_prior:.3f} -> " if via_action is not None else ""
+        lines.append(
+            f"{'  ' * depth}{via}node {node}: n={int(visit[node])} "
+            f"q={q:+.3f} to_play={int(to_play[node])}{tag}"
+        )
+        kids = [
+            (int(child[node, a]), a)
+            for a in np.flatnonzero(child[node] >= 0)
+        ]
+        kids.sort(key=lambda ka: -int(visit[ka[0]]))
+        for c, a in kids[:max_children]:
+            rec(c, depth + 1, a, float(prior[node, a]))
+        if len(kids) > max_children:
+            lines.append(
+                f"{'  ' * (depth + 1)}... {len(kids) - max_children} more "
+                "children"
+            )
+
+    if n_alloc > 0:
+        rec(0, 0, None, None)
+    out = "\n".join(lines)
+    print(out, file=file)
+    return out

@@ -145,8 +145,16 @@ class AlphaZero:
         # plot step (ref AlphaZero.state_set + update_state_set_data,
         # AlphaZero.py:1175-1179; sets built in Run.py:427-579).
         self.state_set = state_set
+        # Multi-controller JAX: every host runs this same coordinator (the
+        # reference instead SPREADs Ray actors from one driver,
+        # slurm-template.sh:52-63).  Device work is SPMD-symmetric across
+        # processes; host-side IO (journal, plots, eval batches) runs on
+        # process 0 only.
+        self._multiprocess = jax.process_count() > 1
+        self._proc0 = jax.process_index() == 0
         self.journal = MetricsJournal(
-            os.path.join(run_dir, "journal.jsonl") if run_dir else None
+            os.path.join(run_dir, "journal.jsonl") if run_dir else None,
+            write=self._proc0,
         )
 
         if train_config.cache.cache_choice not in ("disabled", "none"):
@@ -529,18 +537,31 @@ class AlphaZero:
     def _run_inloop_tests(self, state: TrainState, step: int) -> dict:
         if not self._tests_due(step):
             return {}
+        if self._multiprocess:
+            # Cross-process run: the arena's game batch lives on LOCAL
+            # devices, so it must not mix with globally-sharded params in
+            # one jit (and proc-0-only launches of global computations
+            # would deadlock the other hosts).  Process 0 evaluates with a
+            # host copy of the (replicated) params on its own devices;
+            # the rest skip — eval work is not SPMD.
+            if not self._proc0:
+                return {}
+            params = jax.device_get(state.params)
+        elif self._test_executor is not None:
+            # Async: the train step DONATES the TrainState buffers, so the
+            # eval thread needs its own device copy of the params (the
+            # reference ships pickled CPU copies through the object store —
+            # here it's one device-to-device copy).
+            params = jax.tree.map(jnp.copy, state.params)
+        else:
+            params = state.params
         if self._test_executor is None:
-            return self._inloop_test_job(state.params, step)
-        # Async: submit and return immediately.  The train step DONATES the
-        # TrainState buffers, so the eval thread needs its own device copy
-        # of the params (the reference ships pickled CPU copies through the
-        # object store — here it's one device-to-device copy).  Jobs
-        # serialize on the single worker, so the shared test agents are
-        # never raced.
-        params_copy = jax.tree.map(jnp.copy, state.params)
+            return self._inloop_test_job(params, step)
+        # Jobs serialize on the single worker, so the shared test agents
+        # are never raced.
         self._pending_tests.append(
             (step, self._test_executor.submit(
-                self._inloop_test_job, params_copy, step
+                self._inloop_test_job, params, step
             ))
         )
         return {}
@@ -598,30 +619,43 @@ class AlphaZero:
             state = place_replicated(state, self.mesh)
             sps = [place_batch_sharded(sp, self.mesh) for sp in sps]
             self.buffer = place_batch_sharded(self.buffer, self.mesh)
+            if self.state_set is not None:
+                # Probe inputs replicated on the SAME mesh so the probe jit
+                # stays SPMD-symmetric across processes (a local state_set
+                # mixed with global params is an invalid jit input set).
+                self.state_set = place_replicated(self.state_set, self.mesh)
 
         if cfg.running.early_fill_per_type > 0 and starting_step == 0:
             from nuzero_tpu.utils.printbar import PrintBar
 
             t0 = time.time()
             total = 0
-            bar = PrintBar(
-                "early fill",
-                len(self.envs) * cfg.running.early_fill_per_type,
-            )
+            bar = None
+            if self._proc0:
+                bar = PrintBar(
+                    "early fill",
+                    len(self.envs) * cfg.running.early_fill_per_type,
+                )
             for t in range(len(self.envs)):
                 sps[t], n, _ = self._selfplay_until(
                     state,
                     sps[t],
                     self.sp_steps_early[t],
                     cfg.running.early_fill_per_type,
-                    progress=bar.next,
+                    progress=bar.next if bar else None,
                 )
                 total += n
-            bar.finish()
-            print(
-                f"early fill: {total} games in {time.time() - t0:.1f}s "
-                f"({int(self.buffer.num_positions)} positions)"
-            )
+            # num_positions is a COMPUTED property (a sum over the
+            # dp-sharded length array): in multi-controller it is a
+            # cross-process collective and must be launched by every
+            # process, so it cannot live inside the proc-0 print.
+            n_pos = int(self.buffer.num_positions)
+            if bar:
+                bar.finish()
+                print(
+                    f"early fill: {total} games in {time.time() - t0:.1f}s "
+                    f"({n_pos} positions)"
+                )
 
         if (
             cfg.testing.early_testing
@@ -641,7 +675,7 @@ class AlphaZero:
         # compile of the train step — opt in with NUZERO_MFU=1; bench.py
         # always reports MFU for the benchmark legs).
         train_flops = None
-        if os.environ.get("NUZERO_MFU"):
+        if os.environ.get("NUZERO_MFU") and not self._multiprocess:
             try:
                 bs = (
                     cfg.learning.batch_size
@@ -814,7 +848,9 @@ class AlphaZero:
                         "params": state.params,
                         "opt_state": state.opt_state,
                         "step": state.step,
-                        "rng": jax.random.key_data(rng),
+                        # Host numpy: identical on every process, so Orbax
+                        # treats it as replicated (primary-host write).
+                        "rng": np.asarray(jax.random.key_data(rng)),
                     }
                     if cfg.saving.save_buffer:
                         tree["buffer"] = self.buffer
@@ -836,7 +872,7 @@ class AlphaZero:
         """Render the training plot set from the journal into
         ``run_dir/plots`` (ref plot rendering,
         ``AlphaZero.py:963-1179``).  Returns written paths."""
-        if self.run_dir is None:
+        if self.run_dir is None or not self._proc0:
             return []
         from nuzero_tpu.utils.plots import plot_training_run
 

@@ -39,11 +39,15 @@ def _format_path(root: str) -> str:
 
 
 def save_checkpoint(root: str, step: int, tree: Any) -> str:
+    """Multi-controller: EVERY process must call this with the same tree
+    (Orbax writes each process's addressable shards and coordinates the
+    commit); the side-car FORMAT file is written by process 0 only."""
     path = _ckpt_dir(root, step)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, tree, force=True)
-    with open(_format_path(root), "w") as f:
-        f.write(f"{FORMAT_VERSION}\n")
+    if jax.process_index() == 0:
+        with open(_format_path(root), "w") as f:
+            f.write(f"{FORMAT_VERSION}\n")
     return path
 
 

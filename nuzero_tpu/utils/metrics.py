@@ -17,14 +17,18 @@ from typing import Any, Dict, List, Optional
 
 
 class MetricsJournal:
-    def __init__(self, path: Optional[str]):
+    def __init__(self, path: Optional[str], write: bool = True):
+        """``write=False`` makes appends/truncates no-ops while keeping
+        ``load`` functional — multi-controller runs journal from process 0
+        only (every process reads the shared journal for resume)."""
         self.path = path
-        if path:
+        self.write = write
+        if path and write:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
 
     def append(self, record: Dict[str, Any]) -> None:
         record = dict(record, ts=time.time())
-        if self.path:
+        if self.path and self.write:
             with open(self.path, "a") as f:
                 f.write(json.dumps(record) + "\n")
 
@@ -38,7 +42,7 @@ class MetricsJournal:
         """Resume support: drop records past ``step``
         (ref ``AlphaZero.py:1204-1251`` plot truncation)."""
         records = [r for r in self.load() if r.get("step", 0) <= step]
-        if self.path:
+        if self.path and self.write:
             with open(self.path, "w") as f:
                 for r in records:
                     f.write(json.dumps(r) + "\n")

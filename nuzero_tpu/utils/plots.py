@@ -190,3 +190,32 @@ def plot_iteration_sweep(
     fig.savefig(out_path, dpi=100)
     plt.close(fig)
     return out_path
+
+
+def plot_size_sweep(
+    curves: Dict[str, Sequence[Tuple[int, Tuple[float, float, float]]]],
+    out_path: str,
+    title: str = "win rate vs board size",
+    seat: int = 1,
+    train_size: Optional[int] = None,
+) -> str:
+    """Board-size-transfer curves (ref ``Plots/sizes/*.png`` +
+    ``Plots/PlotMaker.py:20-35``): win rate as a function of board size,
+    one line per test-time recurrent-iteration count, with a marker at the
+    training size."""
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for label, results in curves.items():
+        xs = [v for v, _ in results]
+        ys = [wr[seat] for _, wr in results]
+        ax.plot(xs, ys, marker="o", label=label)
+    if train_size is not None:
+        ax.axvline(train_size, linestyle=":", alpha=0.6, label="train size")
+    ax.set_xlabel("board size (NxN)")
+    ax.set_ylabel("win rate")
+    ax.set_ylim(0, 1.05)
+    ax.set_title(title)
+    ax.legend()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+    return out_path

@@ -16,10 +16,13 @@ Testing presets (ref ``Run.py:201-233``):
   0: TTT — trained policy & mcts agents vs random (needs preset-0 run)
   1: SCS — goal-rush vs random baseline match
   2: SCS — recurrent-iteration extrapolation sweep on a trained net
+  3: SCS — board-size transfer sweep (5x5-trained net on 5..15 boards,
+     ref Plots/sizes experiments)
 
 Debug presets (ref ``Run.py:328-345``):
   0: TTT random playout smoke
   1: SCS env random playout + ASCII render
+  2: MCTS tree dump on the TTT opening (ref Explorer.print_tree)
 """
 
 from __future__ import annotations
@@ -300,6 +303,104 @@ def testing_preset(idx: int, name):
             seat=1,
         )
         print(f"sweep plot written to {out}")
+    elif idx == 3:
+        # Board-size transfer (ref Plots/sizes experiments,
+        # Plots/PlotMaker.py:20-35): the solo-scout net trained on 5x5 is
+        # evaluated UNCHANGED on progressively larger boards (the
+        # fully-convolutional net re-jits per shape; the turn limit scales
+        # with board size so every size stays winnable), at several
+        # test-time recurrent-iteration counts — the DeepThinking claim
+        # that extra thinking extrapolates strategies to bigger maps.
+        import json
+        import math
+
+        from nuzero_tpu.envs.scs import SCSGame, load_scenario
+
+        run_name = name or "scs_solo_prog_r3"
+        run_dir = os.path.join(RUNS, run_name)
+        _, step = restore_checkpoint(os.path.join(run_dir, "checkpoints"), "auto")
+        base_size, base_turns = 5, 7
+        scenario_path = os.path.join(
+            REPO, "configs", "scenarios", "solo_scout_5.yml"
+        )
+
+        def env_factory(size):
+            return SCSGame(load_scenario(
+                scenario_path,
+                seed=42,
+                board_size=size,
+                turns=math.ceil(base_turns * size / base_size),
+            ))
+
+        env5 = env_factory(base_size)
+        manager = _managers(env5, "recurrent")
+        sizes = dict(first=5, last=15, step=2)
+        curves = {}
+        for iters in (2, 6, 24):
+            tm = TestManager(env5, 64)
+            cfg = {
+                "Test": {
+                    "test_type": "data",
+                    "Data": {
+                        "Variable": {
+                            "changing_agent": 2,
+                            "changing_parameter": {
+                                "name": "board_size", "Range": sizes,
+                            },
+                        },
+                        "Runs": {"num_runs": 1, "num_games_per_run": 64},
+                    },
+                },
+                "Agents": {
+                    "p1_agent": {"agent_type": "random"},
+                    "p2_agent": {
+                        "agent_type": "policy",
+                        "Network": {
+                            "recurrent_iterations": iters,
+                            "load_checkpoint": True,
+                            "Checkpoint": {
+                                "cp_network_name": run_name,
+                                "cp_number": "auto",
+                            },
+                        },
+                    },
+                },
+            }
+            print(f"--- size sweep at {iters} recurrent iterations")
+            curves[f"{iters} iterations"] = tm.test_from_config(
+                cfg, manager=manager, game_dir=RUNS, env_factory=env_factory
+            )
+        os.makedirs(os.path.join(run_dir, "plots"), exist_ok=True)
+        with open(
+            os.path.join(run_dir, "plots", "size_sweep.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "checkpoint_step": step,
+                    "train_size": base_size,
+                    "turn_rule": "ceil(7 * size / 5)",
+                    "curves": {
+                        label: [
+                            {"board_size": v, "p0_wr": wr[0],
+                             "p1_wr": wr[1], "draw_rate": wr[2]}
+                            for v, wr in results
+                        ]
+                        for label, results in curves.items()
+                    },
+                },
+                f,
+                indent=1,
+            )
+        from nuzero_tpu.utils.plots import plot_size_sweep
+
+        out = plot_size_sweep(
+            curves,
+            os.path.join(run_dir, "plots", "size_sweep.png"),
+            title=f"{run_name} step {step}: 5x5-trained scout vs board size",
+            seat=1,
+            train_size=base_size,
+        )
+        print(f"size-sweep plot written to {out}")
     else:
         raise SystemExit(f"unknown testing preset {idx}")
 
@@ -405,6 +506,35 @@ def debug_preset(idx: int):
             moves += 1
         print(render_scs_ascii(env, s))
         print("moves:", moves, "terminal value:", float(s.terminal_value))
+    elif idx == 2:
+        # MCTS tree dump: search the opening TTT position and print the
+        # array tree (ref Explorer.print_tree, Search/Explorer.py:216).
+        from nuzero_tpu.search import SearchParams
+        from nuzero_tpu.search.mcts import make_search_fn
+        from nuzero_tpu.search.tree import print_tree
+
+        env = _ttt_env()
+        manager = _managers(env, "mlp", hex=False)
+        variables = manager.init(jax.random.key(0))
+
+        def net(v, obs):
+            p, val, _ = manager.apply(v, obs)
+            return p, val
+
+        params = SearchParams(num_simulations=64, keep_subtree=True)
+        search = jax.jit(
+            make_search_fn(env, net, params, training=False, with_tree=True)
+        )
+        states = jax.tree.map(
+            lambda x: jnp.stack([x]), env.init(jax.random.key(1))
+        )
+        res, tree = search(
+            variables, states, jnp.zeros(1, jnp.int32), jax.random.key(2),
+            None, None,
+        )
+        print_tree(tree, game_idx=0)
+        print(f"chosen action: {int(res.action[0])}, "
+              f"root value {float(res.root_value[0]):+.3f}")
     else:
         raise SystemExit(f"unknown debug preset {idx}")
 

@@ -157,3 +157,75 @@ def test_goal_rush_on_scs():
         16, RandomAgent(), RandomAgent(), jax.random.key(1), show_results=False
     )
     assert s2.p1_win_rate <= s.p1_win_rate
+
+
+def test_board_size_sweep():
+    """board_size changing-parameter: env rebuilt per size via
+    env_factory, both agents replayed on it (the size-transfer machinery,
+    ref Plots/sizes experiments done by hand per-size)."""
+    import math
+    import os
+
+    from nuzero_tpu.envs.scs import SCSGame, load_scenario
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "scenarios", "solo_scout_5.yml",
+    )
+
+    sizes_seen = []
+
+    def env_factory(size):
+        env = SCSGame(load_scenario(
+            path, seed=1, board_size=size,
+            turns=math.ceil(7 * size / 5),
+        ))
+        sizes_seen.append((size, env.R, env.C))
+        return env
+
+    env5 = env_factory(4)
+    mgr = NetworkManager(
+        RecurrentNet(
+            policy_channels=env5.action_space_shape[0],
+            num_filters=8, num_blocks=1, hex=True,
+        ),
+        env5.observation_shape,
+    )
+    tm = TestManager(env5, 8)
+    cfg = {
+        "Test": {
+            "test_type": "data",
+            "Data": {
+                "Variable": {
+                    "changing_agent": 2,
+                    "changing_parameter": {
+                        "name": "board_size",
+                        "Range": {"first": 4, "last": 6, "step": 2},
+                    },
+                },
+                "Runs": {"num_runs": 1, "num_games_per_run": 8},
+            },
+        },
+        "Agents": {
+            "p1_agent": {"agent_type": "random"},
+            "p2_agent": {
+                "agent_type": "policy",
+                "Network": {"recurrent_iterations": 2,
+                            "load_checkpoint": False},
+            },
+        },
+    }
+    results = tm.test_from_config(cfg, manager=mgr, env_factory=env_factory)
+    assert [v for v, _ in results] == [4, 6]
+    # The env really changed shape per point (same params, re-jitted).
+    assert (4, 4, 4) in sizes_seen and (6, 6, 6) in sizes_seen
+    for _, (p0, p1, dr) in results:
+        assert abs(p0 + p1 + dr - 1.0) < 1e-6
+
+    # GoalRush (whose distance fields depend on the board) also survives
+    # a size change.
+    s = tm.run_test_batch(
+        8, RandomAgent(), GoalRushAgent(), jax.random.key(0),
+        show_results=False,
+    )
+    assert s.num_games == 8

@@ -121,3 +121,35 @@ def test_exploration_bias_matches_formula():
     n = float(res.root_visits[0])
     want = np.log((n + 10000 + 1) / 10000) + 1.15
     assert float(res.exploration_bias[0]) == pytest.approx(want, rel=1e-5)
+
+
+def test_print_tree_dump():
+    """Host-side tree dump (ref Explorer.print_tree, Explorer.py:216)."""
+    import io
+
+    from nuzero_tpu.networks import MLPNetwork, NetworkManager
+    from nuzero_tpu.search.tree import print_tree
+
+    env = TicTacToe()
+    mgr = NetworkManager(MLPNetwork(out_features=9), env.observation_shape)
+    variables = mgr.init(jax.random.key(0))
+
+    def net(v, obs):
+        p, val, _ = mgr.apply(v, obs)
+        return p, val
+
+    params = SearchParams(num_simulations=16, keep_subtree=True)
+    search = jax.jit(
+        make_search_fn(env, net, params, training=False, with_tree=True)
+    )
+    states = jax.tree.map(lambda x: jnp.stack([x]), env.init(jax.random.key(1)))
+    res, tree = search(
+        variables, states, jnp.zeros(1, jnp.int32), jax.random.key(2),
+        None, None,
+    )
+    buf = io.StringIO()
+    out = print_tree(tree, game_idx=0, file=buf)
+    assert "allocated nodes" in out
+    assert "node 0:" in out
+    # Root visit count appears (16 sims -> n=16 at the root).
+    assert f"n={int(res.root_visits[0])}" in out
