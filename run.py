@@ -57,7 +57,19 @@ def _scs_env(scenario_file: str, seed: int = 42):
     return SCSGame(scenario)
 
 
-def _managers(env, arch: str, hex: bool = True):
+#: network-scale CLI options, set from main()'s --filters/--net-dtype and
+#: threaded through every preset.
+_NET_OPTS: dict = {}
+
+
+def _managers(env, arch: str, hex: bool = True, filters: int = None,
+              net_dtype: str = None):
+    """``filters``/``net_dtype`` default from --filters/--net-dtype (the
+    reference's flagship presets run 256-filter trunks, ref Run.py:148;
+    bfloat16 runs the trunk at the MXU's fast rate with f32 master
+    params)."""
+    import jax.numpy as jnp
+
     from nuzero_tpu.networks import (
         ConvNet,
         MLPNetwork,
@@ -66,32 +78,58 @@ def _managers(env, arch: str, hex: bool = True):
         ResNet,
     )
 
+    filters = filters or _NET_OPTS.get("filters") or 64
+    dtype = jnp.dtype(net_dtype or _NET_OPTS.get("dtype") or "float32")
+
     if arch == "mlp":
         net = MLPNetwork(out_features=env.num_actions)
     elif arch == "conv":
         net = ConvNet(
             policy_channels=env.action_space_shape[0],
-            num_filters=64,
+            num_filters=filters,
             num_layers=2,
             hex=hex,
+            dtype=dtype,
         )
     elif arch == "recurrent":
         net = RecurrentNet(
             policy_channels=env.action_space_shape[0],
-            num_filters=64,
+            num_filters=filters,
             num_blocks=2,
             hex=hex,
+            dtype=dtype,
         )
     elif arch == "resnet":
         net = ResNet(
             policy_channels=env.action_space_shape[0],
-            num_filters=64,
+            num_filters=filters,
             num_blocks=4,
             hex=hex,
+            dtype=dtype,
         )
     else:
         raise SystemExit(f"unknown architecture {arch!r}")
     return NetworkManager(net, env.observation_shape)
+
+
+def _maybe_init_distributed():
+    """Wire JAX multi-controller when launched multi-host (slurm/launch.py
+    exports JAX_COORDINATOR; plain SLURM multi-task runs are recognized
+    too).  Must run before any other JAX call on every host."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR") or (
+        int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+    ):
+        from nuzero_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
+        import jax
+
+        print(
+            f"jax.distributed: process {jax.process_index()}/"
+            f"{jax.process_count()}, {len(jax.devices())} global devices"
+        )
 
 
 def _train(env, manager, train_cfg_file, search_cfg_file, name=None,
@@ -114,21 +152,24 @@ def _train(env, manager, train_cfg_file, search_cfg_file, name=None,
     run_dir = os.path.join(RUNS, run_name)
     os.makedirs(run_dir, exist_ok=True)
     # Back up configs beside checkpoints (ref AlphaZero.py:184-187).
-    import shutil
+    # Process 0 only: in multi-controller runs every host executes this
+    # function against the same shared run_dir.
+    if jax.process_index() == 0:
+        import shutil
 
-    shutil.copy(
-        os.path.join(REPO, "configs", "training", train_cfg_file),
-        os.path.join(run_dir, "train_config_copy.yaml"),
-    )
-    shutil.copy(
-        os.path.join(REPO, "configs", "search", search_cfg_file),
-        os.path.join(run_dir, "search_config_copy.yaml"),
-    )
-    if meta:
-        # Enough to rebuild env+network on resume (wizard continue flow).
-        from nuzero_tpu.config.run_meta import save_run_meta
+        shutil.copy(
+            os.path.join(REPO, "configs", "training", train_cfg_file),
+            os.path.join(run_dir, "train_config_copy.yaml"),
+        )
+        shutil.copy(
+            os.path.join(REPO, "configs", "search", search_cfg_file),
+            os.path.join(run_dir, "search_config_copy.yaml"),
+        )
+        if meta:
+            # Enough to rebuild env+network on resume (wizard continue).
+            from nuzero_tpu.config.run_meta import save_run_meta
 
-        save_run_meta(run_dir, **meta)
+            save_run_meta(run_dir, **meta)
     az = AlphaZero(
         env, manager, cfg, search, run_dir=run_dir, state_set=state_set,
         mesh=mesh,
@@ -161,7 +202,8 @@ def training_preset(idx: int, name, train_cfg=None, search_cfg=None):
             train_cfg or "ttt_default.yaml",
             search_cfg or "ttt_search.yaml",
             name or "ttt_recurrent",
-            meta=dict(game="ttt", arch="recurrent", hex=False),
+            meta=dict(game="ttt", arch="recurrent", hex=False,
+                      num_filters=_NET_OPTS.get("filters", 64)),
         )
     elif idx == 2:
         from nuzero_tpu.evaluation import mirrored_state_set
@@ -177,7 +219,8 @@ def training_preset(idx: int, name, train_cfg=None, search_cfg=None):
             name,
             state_set=mirrored_state_set(env),
             meta=dict(game="scs", arch="recurrent",
-                      scenario="open_field_5.yml"),
+                      scenario="open_field_5.yml",
+                      num_filters=_NET_OPTS.get("filters", 64)),
         )
     elif idx == 3:
         from nuzero_tpu.evaluation import solo_state_set
@@ -191,7 +234,8 @@ def training_preset(idx: int, name, train_cfg=None, search_cfg=None):
             name or "scs_solo_net",
             state_set=solo_state_set(env),
             meta=dict(game="scs", arch="recurrent",
-                      scenario="solo_scout_5.yml"),
+                      scenario="solo_scout_5.yml",
+                      num_filters=_NET_OPTS.get("filters", 64)),
         )
     else:
         raise SystemExit(f"unknown training preset {idx}")
@@ -578,6 +622,16 @@ def main():
         "(overrides the preset's default)",
     )
     parser.add_argument(
+        "--filters", type=int, default=None,
+        help="trunk filter count for conv/recurrent/resnet presets "
+        "(default 64; the reference's flagship presets use 256)",
+    )
+    parser.add_argument(
+        "--net-dtype", type=str, default=None,
+        choices=["float32", "bfloat16"],
+        help="network COMPUTE dtype (params stay float32)",
+    )
+    parser.add_argument(
         "--cache",
         choices=["dict", "keyless", "disabled"],
         default="disabled",
@@ -585,8 +639,14 @@ def main():
         "(ref Cache config section)",
     )
     args = parser.parse_args()
+    if args.filters:
+        _NET_OPTS["filters"] = args.filters
+    if args.net_dtype:
+        _NET_OPTS["dtype"] = args.net_dtype
 
     if args.training_preset is not None:
+        # Before ANY jax call (backend init) on every host.
+        _maybe_init_distributed()
         training_preset(
             args.training_preset, args.name,
             train_cfg=args.train_config, search_cfg=args.search_config,
