@@ -30,6 +30,7 @@ def save_run_meta(
     hex: Optional[bool] = None,
     num_filters: int = 64,
     num_blocks: Optional[int] = None,
+    randomize_vp: bool = False,
 ) -> str:
     """``game``: "ttt" | "scs".  ``scenario``: scenario YAML filename under
     ``configs/scenarios`` (scs only).  ``arch``: mlp | conv | recurrent |
@@ -46,6 +47,7 @@ def save_run_meta(
         "hex": bool(hex),
         "num_filters": num_filters,
         "num_blocks": num_blocks,
+        "randomize_vp": bool(randomize_vp),
     }
     path = os.path.join(run_dir, META_FILE)
     save_yaml(meta, path)
@@ -81,7 +83,9 @@ def build_from_meta(meta: dict, repo_root: str) -> Tuple[object, object]:
             os.path.join(repo_root, "configs", "scenarios", meta["scenario"]),
             seed=int(meta.get("seed", 42)),
         )
-        env = SCSGame(scenario)
+        env = SCSGame(
+            scenario, randomize_vp=bool(meta.get("randomize_vp", False))
+        )
     else:
         raise ValueError(f"unknown game {game!r} in run_meta")
 

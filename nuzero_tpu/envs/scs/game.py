@@ -77,6 +77,9 @@ class SCSState:
     is_attacker: jax.Array  # bool[2S]
     attacker_seq: jax.Array  # i32[2S] selection order, big when unset
     n_attackers: jax.Array  # i32
+    vp: jax.Array  # bool[2, R, C] victory-point masks — per-GAME state so
+    # randomize_vp can re-draw them each reset (static scenarios carry the
+    # load-time masks unchanged)
 
 
 def _stage_player(stage: jax.Array) -> jax.Array:
@@ -101,9 +104,22 @@ def _stage_sub_phase(stage: jax.Array) -> jax.Array:
 
 class SCSGame(Env):
     """One instance binds one (scenario, seed) pair, like the reference's
-    ``SCS_Game(config_path, seed)`` constructor."""
+    ``SCS_Game(config_path, seed)`` constructor.
 
-    def __init__(self, scenario: Scenario):
+    ``randomize_vp=True`` re-draws each player's victory-point location
+    per GAME (uniform over that player's board half) inside ``init(key)``.
+    This is the reference's actual training distribution: every self-play
+    game constructs a fresh ``SCS_Game`` whose ``load_game_from_config``
+    re-randomizes the map (ref ``Training/Gamer.py`` per-game
+    construction + ``SCS_Game.py:1570-1777`` Randomized creation), where
+    a load-time-only draw would train on ONE fixed layout — measured to
+    produce route memorization instead of VP-seeking (a 5x5 solo net
+    winning 100% at its training layout transferred 0% to other sizes).
+    Supported for scenarios with one VP per player; the VP masks then
+    live in the game STATE and ``GoalRushAgent`` (whose Dijkstra field is
+    host-precomputed from the static masks) refuses such envs."""
+
+    def __init__(self, scenario: Scenario, randomize_vp: bool = False):
         self.scenario = scenario
         R, C, K = scenario.rows, scenario.cols, scenario.stacking_limit
         self.R, self.C, self.K = R, C, K
@@ -161,6 +177,25 @@ class SCSGame(Env):
         self.t_cost = jnp.asarray(scenario.terrain_cost)
         self.vp = jnp.asarray(scenario.vp)
         self.n_vp = jnp.asarray(scenario.n_vp, jnp.float32)
+        self.randomize_vp = bool(randomize_vp)
+        if self.randomize_vp:
+            if not np.allclose(np.asarray(scenario.n_vp), 1):
+                raise ValueError(
+                    "randomize_vp supports scenarios with exactly one "
+                    "victory point per player"
+                )
+            # Per-player draw masks: each player's own board half (the
+            # reference's Randomized VP placement range,
+            # ref SCS_Game.py load: define_board_sides + own-half cols).
+            from nuzero_tpu.envs.scs.scenario import board_sides
+
+            p0_last, p1_first = board_sides(C)
+            half = np.zeros((2, R, C), bool)
+            half[0, :, : p0_last + 1] = True
+            half[1, :, p1_first:] = True
+            self._vp_half_logits = jnp.asarray(
+                np.where(half.reshape(2, R * C), 0.0, -1e9), jnp.float32
+            )
         # Flat unit stats [2S].
         self.u_attack = jnp.asarray(scenario.reinf_stats[:, :, 0].reshape(-1))
         self.u_defense = jnp.asarray(scenario.reinf_stats[:, :, 1].reshape(-1))
@@ -269,8 +304,23 @@ class SCSGame(Env):
     # ------------------------------------------------------------------ #
 
     def init(self, key=None) -> SCSState:
-        del key  # scenario randomness is bound at load time (ref: the
-        # reference randomizes the map in __init__, not reset)
+        # Terrain/unit randomness is bound at load time; the VP masks are
+        # re-drawn per game when randomize_vp (see class docstring).
+        if self.randomize_vp and key is not None:
+            k0, k1 = jax.random.split(key)
+            cells = jnp.stack(
+                [
+                    jax.random.categorical(k0, self._vp_half_logits[0]),
+                    jax.random.categorical(k1, self._vp_half_logits[1]),
+                ]
+            )
+            vp = (
+                jax.nn.one_hot(cells, self.R * self.C, dtype=jnp.float32)
+                .reshape(2, self.R, self.C)
+                .astype(bool)
+            )
+        else:
+            vp = self.vp
         U = self.U
         state = SCSState(
             board=jnp.full((self.R, self.C, self.K), -1, jnp.int32),
@@ -292,6 +342,7 @@ class SCSGame(Env):
             is_attacker=jnp.zeros(U, bool),
             attacker_seq=jnp.full(U, 10**6, jnp.int32),
             n_attackers=jnp.int32(0),
+            vp=vp,
         )
         return self._update_env(state)
 
@@ -729,8 +780,8 @@ class SCSGame(Env):
         owner = self._tile_owner(state.board)
         # victory_points[p] are player p's OWN locations; captured when the
         # opponent's units sit on them at game end.
-        p2_captured = (self.vp[0] & (owner == 1)).sum().astype(jnp.float32)
-        p1_captured = (self.vp[1] & (owner == 0)).sum().astype(jnp.float32)
+        p2_captured = (state.vp[0] & (owner == 1)).sum().astype(jnp.float32)
+        p1_captured = (state.vp[1] & (owner == 0)).sum().astype(jnp.float32)
         p1_pct = p1_captured / jnp.maximum(self.n_vp[1], 1.0)
         p2_pct = p2_captured / jnp.maximum(self.n_vp[0], 1.0)
         return jnp.where(
@@ -824,8 +875,8 @@ class SCSGame(Env):
             self.t_attack[None],
             self.t_defense[None],
             self.t_cost[None],
-            self.vp[0][None].astype(f),
-            self.vp[1][None].astype(f),
+            state.vp[0][None].astype(f),
+            state.vp[1][None].astype(f),
         ]
 
         # Reinforcements: next N_REINF_SHOWN unplaced units per player,
@@ -985,5 +1036,6 @@ class SCSGame(Env):
             is_attacker=jnp.zeros(2 * S, bool),
             attacker_seq=jnp.full(2 * S, 10**6, jnp.int32),
             n_attackers=jnp.int32(0),
+            vp=self.vp,
         )
         return self._update_env(state)

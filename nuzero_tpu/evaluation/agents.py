@@ -230,6 +230,12 @@ class GoalRushAgent(Agent):
     name = "goal_rush"
 
     def _build_policy(self, env):
+        if getattr(env, "randomize_vp", False):
+            raise ValueError(
+                "GoalRushAgent precomputes Dijkstra fields from the "
+                "scenario's static VP masks; it cannot play envs with "
+                "randomize_vp=True (per-game VP draws)"
+            )
         dist = jnp.asarray(self._distance_fields(env))  # f32[2, R, C]
         R, C, K = env.R, env.C, env.K
 

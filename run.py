@@ -48,13 +48,13 @@ def _ttt_env():
     return TicTacToe()
 
 
-def _scs_env(scenario_file: str, seed: int = 42):
+def _scs_env(scenario_file: str, seed: int = 42, randomize_vp: bool = False):
     from nuzero_tpu.envs.scs import SCSGame, load_scenario
 
     scenario = load_scenario(
         os.path.join(REPO, "configs", "scenarios", scenario_file), seed=seed
     )
-    return SCSGame(scenario)
+    return SCSGame(scenario, randomize_vp=randomize_vp)
 
 
 #: network-scale CLI options, set from main()'s --filters/--net-dtype and
@@ -225,7 +225,12 @@ def training_preset(idx: int, name, train_cfg=None, search_cfg=None):
     elif idx == 3:
         from nuzero_tpu.evaluation import solo_state_set
 
-        env = _scs_env("solo_scout_5.yml")
+        # Per-game VP randomization = the reference's training
+        # distribution (each self-play game reloads the Randomized
+        # scenario, ref Training/Gamer.py fresh game per play_game);
+        # without it the scout memorizes one route and transfers to
+        # nothing (see SCSGame.randomize_vp docstring).
+        env = _scs_env("solo_scout_5.yml", randomize_vp=True)
         _train(
             env,
             _managers(env, "recurrent"),
@@ -234,7 +239,7 @@ def training_preset(idx: int, name, train_cfg=None, search_cfg=None):
             name or "scs_solo_net",
             state_set=solo_state_set(env),
             meta=dict(game="scs", arch="recurrent",
-                      scenario="solo_scout_5.yml",
+                      scenario="solo_scout_5.yml", randomize_vp=True,
                       num_filters=_NET_OPTS.get("filters", 64)),
         )
     else:
@@ -374,7 +379,7 @@ def testing_preset(idx: int, name):
                 seed=42,
                 board_size=size,
                 turns=math.ceil(base_turns * size / base_size),
-            ))
+            ), randomize_vp=True)
 
         env5 = env_factory(base_size)
         manager = _managers(env5, "recurrent")

@@ -207,3 +207,45 @@ def test_game_length_bound(ref_scs):
             steps += 1
         longest = max(longest, steps)
     assert longest < game.max_game_length
+
+
+def test_randomize_vp_per_game():
+    """randomize_vp: VP masks drawn per game in each player's own half;
+    static envs keep the load-time masks (the reference constructs a fresh
+    Randomized SCS_Game per self-play game, ref Training/Gamer.py)."""
+    import numpy as np
+
+    import jax
+
+    from nuzero_tpu.envs.scs import SCSGame, load_scenario
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sc = load_scenario(
+        os.path.join(repo, "configs", "scenarios", "solo_scout_5.yml"),
+        seed=42,
+    )
+    env = SCSGame(sc, randomize_vp=True)
+    keys = jax.random.split(jax.random.key(0), 32)
+    states = jax.vmap(env.init)(keys)
+    vps = np.asarray(states.vp)
+    assert vps.shape == (32, 2, 5, 5)
+    assert (vps.sum(axis=(2, 3)) == 1).all()  # one VP per player per game
+    # Own halves (5 cols: p0 in 0-1, p1 in 3-4).
+    assert not vps[:, 0, :, 2:].any()
+    assert not vps[:, 1, :, :3].any()
+    # Really varies across games.
+    flat = vps.reshape(32, -1)
+    assert len({tuple(r) for r in flat.astype(int).tolist()}) > 4
+
+    # Termination keys on the per-state masks: the scout standing on the
+    # drawn p0 VP wins (uses set_simple_game_state's static-vp path as a
+    # control below).
+    env_static = SCSGame(sc)
+    s = env_static.init(None)
+    assert np.array_equal(np.asarray(s.vp), np.asarray(env_static.vp))
+
+    # GoalRush refuses randomized-VP envs (its Dijkstra field is static).
+    from nuzero_tpu.evaluation import GoalRushAgent
+
+    with pytest.raises(ValueError, match="randomize_vp"):
+        GoalRushAgent().policy(env)
