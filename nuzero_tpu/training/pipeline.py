@@ -709,6 +709,7 @@ class AlphaZero:
                 jax.profiler.start_trace(trace_dir)
             if sequential:
                 games = 0
+                per_type_stats = {}
                 with timers.phase("selfplay"):
                     for t in range(T):
                         sps[t], g, sp_stats = self._selfplay_until(
@@ -718,6 +719,8 @@ class AlphaZero:
                             cfg.running.num_games_per_type_per_step,
                         )
                         games += g
+                        if T > 1:
+                            per_type_stats[t] = (g, sp_stats)
             else:
                 # Asynchronous mode: actors play continuously; the learner
                 # rate is set by update_delay (ref wall-clock-decoupled mode,
@@ -796,6 +799,22 @@ class AlphaZero:
             for k, v in tr_metrics.items():
                 if k.startswith("loss/type"):
                     record[k] = float(v)
+            if sequential and T > 1:
+                # Per-game-type averaged self-play stats (ref per-type
+                # Gamer stats printing, Training/Gamer.py:42-92 +
+                # stats_utils.py:21-35 — journaled instead of printed).
+                for t, (g, st) in per_type_stats.items():
+                    record[f"selfplay/type{t}/games"] = g
+                    for key_in, key_out in (
+                        ("root_value_mean", "root_value"),
+                        ("tree_nodes_mean", "tree_nodes"),
+                        ("children_per_node_mean", "children_per_node"),
+                        ("exploration_bias_mean", "exploration_bias"),
+                    ):
+                        if key_in in st:
+                            record[f"selfplay/type{t}/{key_out}"] = float(
+                                st[key_in]
+                            )
 
             with timers.phase("eval"):
                 if self.test_hook is not None:

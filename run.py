@@ -365,7 +365,7 @@ def testing_preset(idx: int, name):
 
         from nuzero_tpu.envs.scs import SCSGame, load_scenario
 
-        run_name = name or "scs_solo_prog_r3"
+        run_name = name or "scs_solo_rvp_r4"
         run_dir = os.path.join(RUNS, run_name)
         _, step = restore_checkpoint(os.path.join(run_dir, "checkpoints"), "auto")
         base_size, base_turns = 5, 7

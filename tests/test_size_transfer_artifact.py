@@ -2,13 +2,17 @@
 reference's ``Plots/sizes`` experiments + ``Plots/PlotMaker.py:20-35``:
 nets trained on small maps evaluated on larger ones).
 
-``runs/scs_solo_prog_r3/plots/size_sweep.json`` is written by testing
-preset 3: the 5x5-trained progressive-loss solo-scout net evaluated
-UNCHANGED on 5..15 boards (turn limit scaled ceil(7*size/5)) at several
+``runs/scs_solo_rvp_r4/plots/size_sweep.json`` is written by testing
+preset 3: a 5x5-trained solo-scout net (trained with PER-GAME VP
+randomization — without it the scout memorizes one route and transfers
+nothing, see SCSGame.randomize_vp) evaluated UNCHANGED on 5..15 boards
+(turn limit scaled ceil(7*size/5), VPs randomized per game) at several
 test-time recurrent-iteration counts.
 
 Reproduce:
-    python run.py --testing-preset 3 --name scs_solo_prog_r3
+    python run.py --training-preset 3 --train-config scs_small_prog.yaml \
+        --name scs_solo_rvp_r4
+    python run.py --testing-preset 3 --name scs_solo_rvp_r4
 """
 
 import json
@@ -19,7 +23,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _curves(run="scs_solo_prog_r3"):
+def _curves(run="scs_solo_rvp_r4"):
     path = os.path.join(REPO, "runs", run, "plots", "size_sweep.json")
     if not os.path.exists(path):
         pytest.skip(f"no committed size-sweep data for {run}")
