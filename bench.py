@@ -198,6 +198,10 @@ def bench_ttt():
         p, val, _ = mgr.apply(v, obs)
         return p, val
 
+    # The TTT move-batch is sub-second; at 3 reps/trial the remote-tunnel
+    # dispatch jitter dominated (BENCH_r03 spread 1.50, r4 first cut
+    # 1.61).  Longer trials average it out.
+    reps = max(reps, 10)
     return measure_selfplay(env, net, variables, batch, sims, reps, trials), batch, sims
 
 
@@ -321,17 +325,17 @@ def main():
                 s256_s, "SCS 5x5 hex-RecurrentNet 256f bf16",
             )
 
-    if scs is not None:
-        for key, leg in (
-            ("secondary", ttt),
-            ("ttt4096", ttt4096),
-            ("scs256", scs256),
-        ):
-            if leg is not None:
-                scs[key] = leg
-        print(json.dumps(scs))
-    elif ttt is not None:
-        print(json.dumps(ttt))
+    # Primary = the SCS leg (BASELINE's named workload); if skipped, the
+    # first available leg is promoted so a filtered run still prints its
+    # one JSON line.
+    legs = [("scs", scs), ("secondary", ttt), ("ttt4096", ttt4096),
+            ("scs256", scs256)]
+    primary = next((leg for _, leg in legs if leg is not None), None)
+    if primary is not None:
+        for key, leg in legs:
+            if leg is not None and leg is not primary:
+                primary[key] = leg
+        print(json.dumps(primary))
 
 
 if __name__ == "__main__":

@@ -206,7 +206,14 @@ def hex_conv_dispatch(x: jax.Array, weights: jax.Array) -> jax.Array:
     if backend == "auto":
         H, W = x.shape[1], x.shape[2]
         backend = "pallas" if H * W >= _PALLAS_MIN_PIXELS else "xla"
-    if backend == "pallas" and jax.default_backend() == "tpu":
+    if (
+        backend == "pallas"
+        and jax.default_backend() == "tpu"
+        and x.dtype == jnp.float32
+        # bf16 inputs hit a Mosaic "unsupported shape cast" in the fused
+        # kernel (measured on v5e); the XLA dual conv handles bf16 with
+        # f32 accumulation natively, so mixed-precision nets take it.
+    ):
         return _hex_conv_pallas_ad(x, weights)
     return _hex_conv_xla_nhwc(x, weights)
 
