@@ -123,7 +123,13 @@ def hex_conv(
         padding=((1, 1), (1, 1)),
         dimension_numbers=dn,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        # preferred_element_type=f32 with bf16 operands breaks the conv
+        # TRANSPOSE rule (the f32 cotangent meets the bf16 kernel inside
+        # the gradient conv).  bf16 convs accumulate in f32 on the TPU MXU
+        # regardless, so only f32 inputs request it explicitly.
+        preferred_element_type=(
+            jnp.float32 if x.dtype == jnp.float32 else None
+        ),
     )
     y_even = conv(x, k_even)
     y_odd = conv(x, k_odd)
@@ -274,7 +280,11 @@ def hex_conv_depthwise(
         dimension_numbers=dn,
         feature_group_count=channels,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        # See hex_conv: f32-only (the transpose rule breaks on mixed
+        # cotangent/kernel dtypes with bf16 operands).
+        preferred_element_type=(
+            jnp.float32 if x.dtype == jnp.float32 else None
+        ),
     )
     y_even = conv(x, k_even)
     y_odd = conv(x, k_odd)

@@ -167,3 +167,32 @@ def test_unknown_value_head_raises():
 
     with pytest.raises(ValueError, match="unknown value head"):
         make_value_head("bogus", 16)
+
+
+def test_bf16_compute_trains():
+    """Mixed precision: bf16 COMPUTE with f32 master params must be
+    differentiable end-to-end (regression: preferred_element_type=f32
+    with bf16 conv operands broke the conv transpose rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    net = RecurrentNet(
+        policy_channels=2, num_filters=8, num_blocks=1, hex=True,
+        dtype=jnp.bfloat16,
+    )
+    obs = jnp.ones((2, 3, 5, 5), jnp.float32)
+    variables = net.init(jax.random.key(0), obs, 2)
+    # Master params stay f32.
+    assert all(
+        x.dtype == jnp.float32 for x in jax.tree.leaves(variables)
+    )
+
+    def loss(v):
+        (p, val), _ = net.apply(v, obs, 3)
+        assert p.dtype == jnp.float32 and val.dtype == jnp.float32
+        return (p ** 2).mean() + (val ** 2).mean()
+
+    g = jax.grad(loss)(variables)
+    flat = jnp.concatenate([x.reshape(-1) for x in jax.tree.leaves(g)])
+    assert bool(jnp.isfinite(flat).all())
+    assert float(jnp.abs(flat).max()) > 0
