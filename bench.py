@@ -247,6 +247,13 @@ def bench_scs(filters=None, dtype=None, batch=None):
         seed=42,
     )
     env = SCSGame(scenario)
+    if filters <= 64:
+        # The 64f program is dispatch-dominated (many small kernels, ~106
+        # ms/batch): short trials ride the tunnel's multi-second latency
+        # swings (a 3-rep run measured spread 1.36 in a noisy window;
+        # 12-rep trials measured 1.03 minutes later).  The 256f leg's
+        # fatter kernels are stable at 3 reps.
+        reps = max(reps, 12)
     net_mod = RecurrentNet(
         policy_channels=env.action_space_shape[0],
         num_filters=filters,
