@@ -306,6 +306,19 @@ class SCSGame(Env):
     def init(self, key=None) -> SCSState:
         # Terrain/unit randomness is bound at load time; the VP masks are
         # re-drawn per game when randomize_vp (see class docstring).
+        if self.randomize_vp and key is None:
+            # Host-driven callers (viewer, human play, debug renders) that
+            # don't thread a key get the one static load-time layout — a
+            # different distribution than training sees.  Say so instead
+            # of silently showing the fixed layout.
+            import warnings
+
+            warnings.warn(
+                "SCSGame.init(key=None) with randomize_vp=True uses the "
+                "static load-time VP layout, not the randomized training "
+                "distribution; pass a PRNG key to sample a layout",
+                stacklevel=2,
+            )
         if self.randomize_vp and key is not None:
             k0, k1 = jax.random.split(key)
             cells = jnp.stack(

@@ -204,45 +204,54 @@ class TestManager:
         target = {1: p0, 2: p1}.get(changing_agent)
         results = []
         rng = jax.random.key(seed)
-        for value in sweep_values:
-            if target is not None and param_name == "iterations":
-                target.set_recurrent_iterations(value)
-            elif target is not None and param_name == "checkpoints":
-                ck_root = self._checkpoint_root(
-                    agents_cfg, changing_agent, game_dir
-                )
-                tree, _ = restore_checkpoint(ck_root, value)
-                target.set_network(tree["params"])
-            elif param_name == "board_size":
-                if env_factory is None:
-                    raise ValueError(
-                        "board_size sweeps need env_factory(size) -> env"
+        # board_size sweeps rebind self.env per value; restore the
+        # manager's construction-time env (and its compiled arenas) on the
+        # way out so later run_test_batch calls don't silently run on the
+        # last swept size.
+        orig_env, orig_arenas = self.env, self._arenas
+        try:
+            for value in sweep_values:
+                if target is not None and param_name == "iterations":
+                    target.set_recurrent_iterations(value)
+                elif target is not None and param_name == "checkpoints":
+                    ck_root = self._checkpoint_root(
+                        agents_cfg, changing_agent, game_dir
                     )
-                self.env = env_factory(value)
-                # New env: drop compiled arenas; agent policies re-key on
-                # the new env object automatically (Agent.policy cache).
-                self._arenas = {}
+                    tree, _ = restore_checkpoint(ck_root, value)
+                    target.set_network(tree["params"])
+                elif param_name == "board_size":
+                    if env_factory is None:
+                        raise ValueError(
+                            "board_size sweeps need env_factory(size) -> env"
+                        )
+                    self.env = env_factory(value)
+                    # New env: drop compiled arenas; agent policies re-key
+                    # on the new env object automatically (Agent.policy
+                    # cache).
+                    self._arenas = {}
 
-            wins0 = wins1 = draws = total = 0
-            for _ in range(num_runs):
-                rng, sub = jax.random.split(rng)
-                stats = self.run_test_batch(
-                    num_games, p0, p1, sub, show_results=False
+                wins0 = wins1 = draws = total = 0
+                for _ in range(num_runs):
+                    rng, sub = jax.random.split(rng)
+                    stats = self.run_test_batch(
+                        num_games, p0, p1, sub, show_results=False
+                    )
+                    wins0 += stats.p0_wins
+                    wins1 += stats.p1_wins
+                    draws += stats.draws
+                    total += stats.num_games
+                point = (
+                    value,
+                    (wins0 / total, wins1 / total, draws / total),
                 )
-                wins0 += stats.p0_wins
-                wins1 += stats.p1_wins
-                draws += stats.draws
-                total += stats.num_games
-            point = (
-                value,
-                (wins0 / total, wins1 / total, draws / total),
-            )
-            results.append(point)
-            label = f"{param_name}={value}: " if value is not None else ""
-            print(
-                f"{label}P1 {point[1][0]:.1%} | P2 {point[1][1]:.1%} | "
-                f"draws {point[1][2]:.1%}"
-            )
+                results.append(point)
+                label = f"{param_name}={value}: " if value is not None else ""
+                print(
+                    f"{label}P1 {point[1][0]:.1%} | P2 {point[1][1]:.1%} | "
+                    f"draws {point[1][2]:.1%}"
+                )
+        finally:
+            self.env, self._arenas = orig_env, orig_arenas
         return results
 
     def _checkpoint_root(self, agents_cfg, changing_agent, game_dir):

@@ -117,16 +117,25 @@ def hex_conv(
     dn = jax.lax.conv_dimension_numbers(
         x.shape, k_even.shape, (data_format, dense_layout, data_format)
     )
+    # preferred_element_type=f32 with bf16 operands breaks the conv
+    # TRANSPOSE rule (the f32 cotangent meets the bf16 kernel inside
+    # the gradient conv).  On TPU bf16 convs accumulate in f32 on the MXU
+    # regardless, so bf16 operands go through as-is there; on other
+    # backends (CPU meshes in tests, GPU debugging) XLA may accumulate
+    # bf16 convs in bf16, so inputs are upcast and the f32 result cast
+    # back — same documented "bf16 storage, f32 accumulation" semantics
+    # on every platform.
+    out_dtype = x.dtype
+    if x.dtype == jnp.bfloat16 and jax.default_backend() != "tpu":
+        x = x.astype(jnp.float32)
+        k_even = k_even.astype(jnp.float32)
+        k_odd = k_odd.astype(jnp.float32)
     conv = functools.partial(
         jax.lax.conv_general_dilated,
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=dn,
         precision=precision,
-        # preferred_element_type=f32 with bf16 operands breaks the conv
-        # TRANSPOSE rule (the f32 cotangent meets the bf16 kernel inside
-        # the gradient conv).  bf16 convs accumulate in f32 on the TPU MXU
-        # regardless, so only f32 inputs request it explicitly.
         preferred_element_type=(
             jnp.float32 if x.dtype == jnp.float32 else None
         ),
@@ -136,7 +145,7 @@ def hex_conv(
     col_is_odd = (jnp.arange(x.shape[col_axis]) % 2).astype(bool)
     shape = [1, 1, 1, 1]
     shape[col_axis] = -1
-    return jnp.where(col_is_odd.reshape(shape), y_odd, y_even).astype(x.dtype)
+    return jnp.where(col_is_odd.reshape(shape), y_odd, y_even).astype(out_dtype)
 
 
 #: Active backend for the model-zoo hex convolutions ("xla" = parity-masked
@@ -273,6 +282,14 @@ def hex_conv_depthwise(
     dn = jax.lax.conv_dimension_numbers(
         x.shape, k_even.shape, (data_format, dense_layout, data_format)
     )
+    # See hex_conv: bf16 operands keep f32 accumulation on TPU natively;
+    # on other backends upcast so the accumulation dtype matches the
+    # documented semantics everywhere.
+    out_dtype = x.dtype
+    if x.dtype == jnp.bfloat16 and jax.default_backend() != "tpu":
+        x = x.astype(jnp.float32)
+        k_even = k_even.astype(jnp.float32)
+        k_odd = k_odd.astype(jnp.float32)
     conv = functools.partial(
         jax.lax.conv_general_dilated,
         window_strides=(1, 1),
@@ -280,8 +297,6 @@ def hex_conv_depthwise(
         dimension_numbers=dn,
         feature_group_count=channels,
         precision=precision,
-        # See hex_conv: f32-only (the transpose rule breaks on mixed
-        # cotangent/kernel dtypes with bf16 operands).
         preferred_element_type=(
             jnp.float32 if x.dtype == jnp.float32 else None
         ),
@@ -291,7 +306,7 @@ def hex_conv_depthwise(
     col_is_odd = (jnp.arange(x.shape[col_axis]) % 2).astype(bool)
     shape = [1, 1, 1, 1]
     shape[col_axis] = -1
-    return jnp.where(col_is_odd.reshape(shape), y_odd, y_even).astype(x.dtype)
+    return jnp.where(col_is_odd.reshape(shape), y_odd, y_even).astype(out_dtype)
 
 
 def hex_conv_depthwise_reference(

@@ -98,16 +98,35 @@ def hex_conv_pallas(
     """Hex convolution, NHWC.
 
     Args:
-      x: f32[B, H, W, Cin]; B must be divisible by ``batch_block``.
-      weights: f32[7, Cin, Cout] (same tap order as ``hex_conv``).
+      x: f32/bf16[B, H, W, Cin]; B must be divisible by ``batch_block``.
+      weights: f32/bf16[7, Cin, Cout] (same tap order as ``hex_conv``).
+
+    bf16 note: Mosaic can only relayout a bf16 row-merging reshape (the
+    kernel's ``[BB, H, W, C] -> [BB*H*W, C]`` flatten) when the lane
+    dimension is a multiple of 128 — measured on v5e: C=448 fails, 384
+    works.  bf16 inputs therefore get their channel dims zero-padded up
+    to 128 multiples here (weights rows match, extra output channels are
+    sliced off); the MXU runs 128-wide tiles anyway, so the padding
+    mostly formalizes what the hardware would do.
     """
     B, H, W, Cin = x.shape
     Cout = weights.shape[-1]
+    cout_pad = 0
+    if x.dtype == jnp.bfloat16:
+        cin_pad = (-Cin) % 128
+        cout_pad = (-Cout) % 128
+        if cin_pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad)))
+            weights = jnp.pad(weights, ((0, 0), (0, cin_pad), (0, 0)))
+        if cout_pad:
+            weights = jnp.pad(weights, ((0, 0), (0, 0), (0, cout_pad)))
+        Cin += cin_pad
+        Cout += cout_pad
     if B % batch_block != 0:
         batch_block = 1
     w2d = weights.reshape(7 * Cin, Cout)
 
-    return pl.pallas_call(
+    y = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
         grid=(B // batch_block,),
@@ -126,3 +145,6 @@ def hex_conv_pallas(
         ),
         interpret=interpret,
     )(x, w2d)
+    if cout_pad:
+        y = y[..., : Cout - cout_pad]
+    return y

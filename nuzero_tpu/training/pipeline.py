@@ -152,6 +152,22 @@ class AlphaZero:
         # process 0 only.
         self._multiprocess = jax.process_count() > 1
         self._proc0 = jax.process_index() == 0
+        if (
+            self._multiprocess
+            and train_config.running.running_mode == "asynchronous"
+        ):
+            # The async self-play loop exits on WALL-CLOCK (update_delay);
+            # under multi-controller JAX each self-play step is a
+            # cross-process collective over the globally sharded state, so
+            # hosts that launch different numbers of steps deadlock (or
+            # corrupt the run).  Only sequential mode derives its loop
+            # bounds from values identical on all processes.
+            raise ValueError(
+                "running_mode 'asynchronous' is single-process only: its "
+                "wall-clock loop exit can diverge across hosts while every "
+                "self-play step is a cross-process collective. Use "
+                "running_mode 'sequential' for multi-host runs."
+            )
         self.journal = MetricsJournal(
             os.path.join(run_dir, "journal.jsonl") if run_dir else None,
             write=self._proc0,

@@ -26,7 +26,12 @@ import orbax.checkpoint as ocp
 # changes incompatibly (v2: ReplayBuffer stores packed states in a
 # ``states`` field; v1 buffers stored observation tensors in ``obs``).
 # Restores of a mismatched version fail with a clear message instead of an
-# Orbax tree-structure error.
+# Orbax tree-structure error.  Same-version LEAF-SHAPE drift (e.g. the
+# SCS packed replay state dimension grew when ``SCSState`` gained the
+# ``vp`` field) is caught by the shape pre-check in
+# :func:`restore_checkpoint` rather than by a version bump, so old
+# checkpoints of unaffected games (TTT, SCS without a saved buffer) stay
+# loadable.
 FORMAT_VERSION = 2
 
 
@@ -83,6 +88,57 @@ def restore_checkpoint(root: str, step: int | str = "auto", target: Any = None):
             )
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
+        # Pre-check saved leaf shapes against the target so same-version
+        # layout drift (e.g. a pre-``vp`` SCS replay buffer whose packed
+        # state dimension no longer matches this build's ``SCSState``)
+        # fails with a clear message naming the leaves, not an opaque
+        # Orbax shape error mid-restore.
+        try:
+            meta_tree = ckptr.metadata(path).item_metadata.tree
+        except Exception:
+            meta_tree = None
+        if meta_tree is not None:
+            # Normalize paths to name tuples: the metadata tree spells
+            # container nodes as plain dicts while the target uses
+            # dataclasses/namedtuples, so only the path NAMES line up.
+            def _shapes_by_path(tree):
+                out = {}
+                for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                    names = tuple(
+                        str(
+                            getattr(p, "key", None)
+                            if getattr(p, "key", None) is not None
+                            else getattr(p, "name", None)
+                            if getattr(p, "name", None) is not None
+                            else getattr(p, "idx", p)
+                        )
+                        for p in path
+                    )
+                    out[names] = tuple(getattr(leaf, "shape", ()) or ())
+                return out
+
+            tgt_shapes = _shapes_by_path(target)
+            meta_shapes = _shapes_by_path(meta_tree)
+            mismatches = [
+                f"{'/'.join(p)}: checkpoint {meta_shapes[p]} vs this "
+                f"build {tgt_shapes[p]}"
+                for p in sorted(set(tgt_shapes) & set(meta_shapes))
+                if tgt_shapes[p] != meta_shapes[p]
+            ]
+            if mismatches:
+                raise ValueError(
+                    f"checkpoint at {path} does not match this build's "
+                    "array layout: "
+                    + "; ".join(mismatches[:8])
+                    + (
+                        f" (+{len(mismatches) - 8} more)"
+                        if len(mismatches) > 8
+                        else ""
+                    )
+                    + ". Likely saved by an older build (e.g. an SCS "
+                    "replay buffer packed before SCSState gained the 'vp' "
+                    "field). Re-train, or restore without the stale leaves."
+                )
         # Restore leaves as host numpy (topology-independent), then let the
         # caller's jit/shardings place them; avoids baking the saving
         # topology's shardings into the restore.
