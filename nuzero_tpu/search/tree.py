@@ -133,12 +133,28 @@ def reroot(tree: Tree, action: jax.Array) -> tuple[Tree, jax.Array]:
     ok = c != UNVISITED
     c_safe = jnp.where(ok, c, 0)
 
+    # All node-indexed reads below go through ONE-HOT MATMULS, not gathers.
+    # A vmapped per-game gather makes XLA (a) serialize the read and (b)
+    # prefer batch-minor layouts for the gathered table — which then forces
+    # a full-table layout copy of the [N, A] edge stats on EVERY simulation
+    # at the search loop boundary (profiled: 10.7 ms/move at
+    # [512, 64, 525] on the 256f leg).  One-hot f32 matmuls at HIGHEST
+    # precision are exact (each output sums exactly one 1.0*x product; the
+    # bf16x3 f32 decomposition reconstructs x bit-exactly), run on the MXU,
+    # and keep every table in its natural row-major layout.
+    f32 = jnp.float32
+    highest = jax.lax.Precision.HIGHEST
+
+    def oh(indices):  # [M] -> f32[M, N] one-hot rows
+        return (indices[:, None] == idx[None, :]).astype(f32)
+
     # --- 1. subtree membership by pointer doubling.
     mark = idx == c_safe
     ptr = jnp.where(tree.parent >= 0, tree.parent, idx)
     for _ in range(max(1, math.ceil(math.log2(max(N, 2))))):
-        mark = mark | mark[ptr]
-        ptr = ptr[ptr]
+        ptr_oh = oh(ptr)
+        mark = mark | (ptr_oh @ mark.astype(f32) > 0.5)
+        ptr = jnp.round(ptr_oh @ ptr.astype(f32)).astype(jnp.int32)
 
     # --- 2. compaction permutation: new root first, marked nodes next
     # (stable in old-index order), dead nodes last.
@@ -148,32 +164,66 @@ def reroot(tree: Tree, action: jax.Array) -> tuple[Tree, jax.Array]:
     dest = jnp.argsort(key).astype(jnp.int32)  # old index at each new slot
     inv = jnp.zeros(N, jnp.int32).at[dest].set(idx)  # old -> new
     live = idx < n_live
+    perm = oh(dest)  # f32[N, N]: out[m] = in[dest[m]]
 
-    # --- 3. gather + remap + clear dead slots.
-    parent_old = tree.parent[dest]
-    parent = jnp.where(
-        live & (idx != 0), inv[jnp.maximum(parent_old, 0)], UNVISITED
+    def permute(table, out_dtype=None):
+        """table[dest] as an MXU matmul (exact — see note above)."""
+        flat = table.reshape(N, -1).astype(f32)
+        out = jnp.matmul(perm, flat, precision=highest)
+        out = out.reshape((N,) + table.shape[1:])
+        dt = out_dtype or table.dtype
+        if dt == jnp.float32:
+            return out
+        if dt == jnp.bool_:
+            return out > 0.5
+        return jnp.round(out).astype(dt)
+
+    # Per-node scalars ride one stacked matmul.
+    node_cols = jnp.stack(
+        [
+            tree.visit.astype(f32),
+            tree.value_sum,
+            tree.parent.astype(f32),
+            tree.to_play.astype(f32),
+            tree.is_terminal.astype(f32),
+            tree.terminal_value,
+            tree.expanded.astype(f32),
+        ],
+        axis=1,
     )
-    child_old = tree.child[dest]
+    node_perm = jnp.matmul(perm, node_cols, precision=highest)
+
+    # --- 3. permute + remap indices + clear dead slots.
+    parent_old = jnp.round(node_perm[:, 2]).astype(jnp.int32)
+    parent = jnp.where(
+        live & (idx != 0),
+        _remap_small(inv, jnp.maximum(parent_old, 0)),
+        UNVISITED,
+    )
+    child_old = permute(tree.child)
     child = jnp.where(
         live[:, None] & (child_old >= 0),
         _remap_small(inv, jnp.maximum(child_old, 0)),
         UNVISITED,
     )
     new_tree = Tree(
-        visit=jnp.where(live, tree.visit[dest], 0),
-        value_sum=jnp.where(live, tree.value_sum[dest], 0.0),
+        visit=jnp.where(
+            live, jnp.round(node_perm[:, 0]).astype(jnp.int32), 0
+        ),
+        value_sum=jnp.where(live, node_perm[:, 1], 0.0),
         parent=parent,
-        to_play=jnp.where(live, tree.to_play[dest], 0),
-        is_terminal=jnp.where(live, tree.is_terminal[dest], False),
-        terminal_value=jnp.where(live, tree.terminal_value[dest], 0.0),
-        expanded=jnp.where(live, tree.expanded[dest], False),
-        prior=jnp.where(live[:, None], tree.prior[dest], 0.0),
-        legal=jnp.where(live[:, None], tree.legal[dest], False),
+        to_play=jnp.where(
+            live, jnp.round(node_perm[:, 3]).astype(jnp.int32), 0
+        ),
+        is_terminal=jnp.where(live, node_perm[:, 4] > 0.5, False),
+        terminal_value=jnp.where(live, node_perm[:, 5], 0.0),
+        expanded=jnp.where(live, node_perm[:, 6] > 0.5, False),
+        prior=jnp.where(live[:, None], permute(tree.prior), 0.0),
+        legal=jnp.where(live[:, None], permute(tree.legal), False),
         child=child,
-        child_visit=jnp.where(live[:, None], tree.child_visit[dest], 0),
-        child_vsum=jnp.where(live[:, None], tree.child_vsum[dest], 0.0),
-        states=jnp.where(live[:, None], tree.states[dest], 0.0),
+        child_visit=jnp.where(live[:, None], permute(tree.child_visit), 0),
+        child_vsum=jnp.where(live[:, None], permute(tree.child_vsum), 0.0),
+        states=jnp.where(live[:, None], permute(tree.states), 0.0),
         next_free=jnp.where(ok, n_live, jnp.int32(1)),
     )
     return new_tree, ok

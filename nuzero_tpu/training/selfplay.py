@@ -139,15 +139,23 @@ def make_selfplay_step(
         D = sp.state_buf.shape[2]
         if D > env_dim:
             enc = jnp.pad(enc, ((0, 0), (0, D - env_dim)))
-        bidx = jnp.arange(B)
-        state_buf = sp.state_buf.at[bidx, sp.move_count].set(enc)
-        policy_buf = sp.policy_buf.at[bidx, sp.move_count].set(
-            res.policy_target
+        # Masked full-buffer writes, NOT `.at[bidx, move_count].set`: the
+        # vmapped per-game scatter makes XLA lay the [B, L, A] buffers out
+        # batch-minor and convert around every other consumer — profiled at
+        # 3 full-buffer layout copies (~6.6 ms/move at [512, 622, 525]) on
+        # the 256f flagship leg.  One elementwise select pass keeps a
+        # single layout and streams each buffer exactly once.
+        L = sp.state_buf.shape[1]
+        at_row = jnp.arange(L)[None, :] == sp.move_count[:, None]  # [B, L]
+        state_buf = jnp.where(
+            at_row[:, :, None], enc[:, None, :], sp.state_buf
+        )
+        policy_buf = jnp.where(
+            at_row[:, :, None], res.policy_target[:, None, :], sp.policy_buf
         )
 
         stepped = jax.vmap(env.step)(sp.games, res.action)
         done = jax.vmap(env.terminal)(stepped)
-        L = sp.state_buf.shape[1]
         overflow = (~done) & (sp.move_count + 1 >= L)
 
         finished = FinishedGames(
