@@ -221,14 +221,13 @@ def hex_conv_dispatch(x: jax.Array, weights: jax.Array) -> jax.Array:
     if backend == "auto":
         H, W = x.shape[1], x.shape[2]
         backend = "pallas" if H * W >= _PALLAS_MIN_PIXELS else "xla"
-    if (
-        backend == "pallas"
-        and jax.default_backend() == "tpu"
-        and x.dtype == jnp.float32
-        # bf16 inputs hit a Mosaic "unsupported shape cast" in the fused
-        # kernel (measured on v5e); the XLA dual conv handles bf16 with
-        # f32 accumulation natively, so mixed-precision nets take it.
-    ):
+    if backend == "pallas" and jax.default_backend() == "tpu":
+        # bf16 lowers via the kernel's 128-multiple channel padding (see
+        # hex_conv_pallas docstring); the same H*W crossover as f32
+        # applies — measured in-program on the 256f bf16 flagship leg,
+        # forcing Pallas at 5x5 ran 0.56x the dual conv (the per-conv
+        # grid of small programs is dispatch-bound at 25 pixels), while
+        # 10x10+ boards profit from the 2.6x FLOP cut on either dtype.
         return _hex_conv_pallas_ad(x, weights)
     return _hex_conv_xla_nhwc(x, weights)
 

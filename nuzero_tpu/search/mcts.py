@@ -78,12 +78,11 @@ class SearchParams:
     # array tree is a fixed budget: when full, simulations stop expanding
     # and re-contribute leaf evaluations (documented deviation; the search
     # warns through SearchResults.tree_nodes when the cap binds).
-    # SCALING NOTE: backprop credits edges with a dense one-hot einsum that
-    # is O(depth_cap * tree_capacity * num_actions) FLOPs per simulation
-    # (see _backprop_path) — fast at the profiled sizes (<=200 nodes), but
-    # cost grows ~quadratically in the simulation budget, so very large
-    # user-set capacities (thousands of nodes) will make backprop dominate
-    # the search.  Prefer capacities within ~4x of the auto default.
+    # SCALING: above SCATTER_CREDIT_MIN_NODES backprop switches from the
+    # dense one-hot einsum to path scatter-adds whose per-simulation cost
+    # is bounded by MAX_PATH_DEPTH — independent of capacity — so the
+    # reference's 300-800 simulation budgets scale ~linearly (measured:
+    # benchmarks/sims_scaling_bench.py).
     tree_capacity: int = 0
 
 
@@ -98,6 +97,8 @@ class SearchResults:
     exploration_bias: jax.Array  # f32[B] final root bias (ref Explorer.py:63)
     children_per_node: jax.Array  # f32[B] avg materialized children per
     # allocated node (ref Gamer.py:42-92 "average children" per-game stat)
+    depth_capped: jax.Array  # f32[B] fraction of simulations whose descent
+    # hit MAX_PATH_DEPTH (0 everywhere observed; nonzero = raise the cap)
 
 
 def _masked_priors(logits: jax.Array, legal: jax.Array) -> jax.Array:
@@ -156,10 +157,15 @@ def _descend(tree: Tree, params: SearchParams, depth_cap: int):
     num_nodes = tree.visit.shape[0]
 
     def cond(carry):
-        _, _, stop, _, _, _ = carry
-        return ~stop
+        _, _, stop, _, _, depth = carry
+        # depth_cap bounds the walk (and with it the recorded-path credit
+        # buffers) independently of tree capacity; a capped descent
+        # re-contributes the frontier node's evaluation, like a full tree.
+        return ~stop & (depth < depth_cap)
 
     iota_depth = jnp.arange(depth_cap)
+
+    root = tree.root
 
     def body(carry):
         node, _, _, path, acts, depth = carry
@@ -184,11 +190,11 @@ def _descend(tree: Tree, params: SearchParams, depth_cap: int):
 
     path0 = jnp.full((depth_cap,), num_nodes, jnp.int32)
     acts0 = jnp.zeros((depth_cap,), jnp.int32)
-    node, action, _, path, acts, _ = jax.lax.while_loop(
+    node, action, stopped, path, acts, depth = jax.lax.while_loop(
         cond,
         body,
         (
-            jnp.int32(0),
+            root,
             jnp.int32(0),
             jnp.bool_(False),
             path0,
@@ -196,12 +202,35 @@ def _descend(tree: Tree, params: SearchParams, depth_cap: int):
             jnp.int32(0),
         ),
     )
+    # A depth-capped exit (~stopped) re-contributes the frontier node's
+    # evaluation without allocating: its path slot was never recorded, so
+    # an allocation there would receive edge credit with no node credit.
+    capped = ~stopped
     needs_alloc = (
         take_small(tree.expanded, node)
         & ~take_small(tree.is_terminal, node)
         & (pick_at(tree.child[node], action) == -1)
+        & ~capped
     )
-    return node, action, needs_alloc, path, acts
+    return node, action, needs_alloc, path, acts, capped
+
+
+#: Tree capacities past which backprop credits stats with scatter-adds
+#: over the recorded path instead of the dense one-hot einsum.  The einsum
+#: streams the full [N, A] tables every simulation (O(N*A) HBM traffic/sim
+#: -> quadratic total cost in the simulation budget); the scatter touches
+#: only B*(path) elements — constant per simulation — at a higher fixed
+#: cost, so the dense form stays faster for the small trees the standing
+#: bench legs use (measured crossover, benchmarks/sims_scaling_bench.py).
+SCATTER_CREDIT_MIN_NODES = 160
+
+#: Descent/credit path cap: descents stop and re-contribute the frontier
+#: node's evaluation past this depth, bounding the recorded-path buffers
+#: (and with them the per-simulation credit cost) independently of tree
+#: capacity.  PUCT trees at the reference's 300-800 simulation budgets
+#: stay far shallower than this on every profiled workload; the search
+#: surfaces `depth_capped` when it ever binds.
+MAX_PATH_DEPTH = 64
 
 
 def _backprop_path(
@@ -228,23 +257,25 @@ def _backprop_path(
     ``tree.py``) receive the same credit along every *descended* edge:
     consecutive valid path entries (path[i] --path_actions[i]--> path[i+1])
     plus, for fresh allocations, the (stop_node, sel_action) -> leaf edge.
-    Edge credit is accumulated as a one-hot outer-product einsum — an
-    MXU-shaped [P, N] x [P, A] contraction, not a scatter (TPU scatters
-    with per-element indices execute serially)."""
+
+    Two credit lowering strategies (measured crossover, see
+    ``SCATTER_CREDIT_MIN_NODES``):
+
+    - small trees: a one-hot outer-product einsum — an MXU-shaped
+      [P, N] x [P, A] contraction added densely into the tables,
+    - large trees: scatter-adds over the recorded (node, action) pairs —
+      per-simulation cost proportional to the path length, independent of
+      tree capacity, which keeps the reference's 300-800 simulation
+      budgets scaling ~linearly instead of quadratically."""
     num_nodes = tree.visit.shape[0]
     A = tree.prior.shape[-1]
+    use_scatter = num_nodes >= SCATTER_CREDIT_MIN_NODES
     extra = jnp.where(fresh, leaf, jnp.int32(num_nodes))
     nodes = jnp.concatenate([path, extra[None]])
     nodes = jnp.where(active, nodes, num_nodes)
-    # Dense one-hot accumulation: out-of-range sentinel rows vanish, and the
-    # [P+1, N] reduction is a lane-parallel VPU op — measured faster than a
-    # scatter-add on TPU for these path lengths.
-    counts = jax.nn.one_hot(nodes, num_nodes, dtype=jnp.float32).sum(axis=0)
-    visit = tree.visit + counts.astype(jnp.int32)
-    vsum = tree.value_sum + value * counts
 
-    # Edge credit.  Intra-path edges: source path[i] is valid iff its
-    # target path[i+1] is a real node.  Leaf edge: the stop node (last
+    # Edge credit sources.  Intra-path edges: source path[i] is valid iff
+    # its target path[i+1] is a real node.  Leaf edge: the stop node (last
     # valid path entry) -> freshly allocated leaf via sel_action.
     path_live = jnp.where(active, path, num_nodes)
     tgt_valid = path_live[1:] < num_nodes
@@ -252,15 +283,36 @@ def _backprop_path(
     stop_src = jnp.where(fresh & active, stop_node, jnp.int32(num_nodes))
     src_all = jnp.concatenate([src, stop_src[None]])
     act_all = jnp.concatenate([path_actions[:-1], sel_action[None]])
-    # bf16 operands: one-hot values are exact in bf16 and the [P,N]x[P,A]
-    # contraction runs on the MXU at 2-4x the f32 rate; accumulate in f32.
-    src_oh = jax.nn.one_hot(src_all, num_nodes, dtype=jnp.bfloat16)  # [P, N]
-    act_oh = jax.nn.one_hot(act_all, A, dtype=jnp.bfloat16)  # [P, A]
-    edge = jnp.einsum(
-        "pn,pa->na", src_oh, act_oh, preferred_element_type=jnp.float32
-    )
-    child_visit = tree.child_visit + edge.astype(jnp.int32)
-    child_vsum = tree.child_vsum + value * edge
+
+    if use_scatter:
+        # Sentinel (out-of-bounds) rows are dropped by the scatter.
+        visit = tree.visit.at[nodes].add(1, mode="drop")
+        vsum = tree.value_sum.at[nodes].add(value, mode="drop")
+        child_visit = tree.child_visit.at[src_all, act_all].add(
+            1, mode="drop"
+        )
+        child_vsum = tree.child_vsum.at[src_all, act_all].add(
+            value, mode="drop"
+        )
+    else:
+        # Dense one-hot accumulation: sentinel rows vanish, the [P+1, N]
+        # reduction is a lane-parallel VPU op, and the [P,N]x[P,A] edge
+        # contraction rides the MXU with exact bf16 one-hot operands and
+        # f32 accumulation.
+        counts = jax.nn.one_hot(nodes, num_nodes, dtype=jnp.float32).sum(
+            axis=0
+        )
+        visit = tree.visit + counts.astype(jnp.int32)
+        vsum = tree.value_sum + value * counts
+        src_oh = jax.nn.one_hot(
+            src_all, num_nodes, dtype=jnp.bfloat16
+        )  # [P, N]
+        act_oh = jax.nn.one_hot(act_all, A, dtype=jnp.bfloat16)  # [P, A]
+        edge = jnp.einsum(
+            "pn,pa->na", src_oh, act_oh, preferred_element_type=jnp.float32
+        )
+        child_visit = tree.child_visit + edge.astype(jnp.int32)
+        child_vsum = tree.child_vsum + value * edge
     return tree.replace(
         visit=visit,
         value_sum=vsum,
@@ -298,7 +350,7 @@ def make_search_fn(
         num_nodes = params.tree_capacity or (2 * params.num_simulations + 4)
     else:
         num_nodes = params.num_simulations + 1
-    depth_cap = min(num_nodes - 1, env.max_game_length) + 1
+    depth_cap = min(num_nodes - 1, env.max_game_length, MAX_PATH_DEPTH) + 1
 
     from nuzero_tpu.utils.packing import make_packer
 
@@ -373,15 +425,26 @@ def make_search_fn(
                 # single per-move gamma draw (see above) — a game is either
                 # fresh or carried, never both.
                 frac = params.root_exploration_fraction
-                root_prior = tree.prior[:, 0]
-                root_legal = tree.legal[:, 0]
+                # The carried root lives at a per-game slot (tree.root) —
+                # read/write its row with masked passes, not gathers.
+                root_row = (
+                    jnp.arange(num_nodes)[None, :] == tree.root[:, None]
+                )  # [B, N]
+                root_prior = (
+                    jnp.where(root_row[..., None], tree.prior, 0.0).sum(1)
+                )
+                root_legal = (
+                    jnp.where(root_row[..., None], tree.legal, False).any(1)
+                )
                 noisy = jnp.where(
                     root_legal,
                     root_prior * (1.0 - frac) + noise * frac,
                     0.0,
                 )
-                root_prior = jnp.where(carried[:, None], noisy, root_prior)
-                tree = tree.replace(prior=tree.prior.at[:, 0].set(root_prior))
+                write = root_row[..., None] & carried[:, None, None]
+                tree = tree.replace(
+                    prior=jnp.where(write, noisy[:, None, :], tree.prior)
+                )
         else:
             tree = fresh_tree
 
@@ -398,18 +461,21 @@ def make_search_fn(
             extra_active = jnp.zeros((B,), bool)
             n_iters = params.num_simulations - 1
 
-        def sim_body(i, tree):
+        def sim_body(i, carry):
+            tree, capped_count = carry
             active = jnp.where(
                 i < params.num_simulations - 1,
                 jnp.ones((B,), bool),
                 extra_active,
             )
-            stop_node, action, needs_alloc, path, path_acts = jax.vmap(
-                lambda t: _descend(t, params, depth_cap)
-            )(tree)
+            stop_node, action, needs_alloc, path, path_acts, capped = (
+                jax.vmap(lambda t: _descend(t, params, depth_cap))(tree)
+            )
             # Full trees (possible only with carried subtrees) stop
             # expanding and just re-contribute the stop node's evaluation.
-            needs_alloc = needs_alloc & active & (tree.next_free < num_nodes)
+            any_free = tree.free.any(-1)
+            first_free = jnp.argmax(tree.free, axis=-1).astype(jnp.int32)
+            needs_alloc = needs_alloc & active & any_free
 
             # Allocate (masked): step the stop node's stored state once.
             stop_state = jax.vmap(lambda t, i: unpack(t.states[i]))(
@@ -425,30 +491,34 @@ def make_search_fn(
                 stepped,
                 stop_state,
             )
-            new_idx = jnp.where(needs_alloc, tree.next_free, jnp.int32(0))
+            new_idx = jnp.where(needs_alloc, first_free, jnp.int32(0))
 
-            def write_alloc(t, idx, pnode, act, packed, do):
+            def write_alloc(t, idx, park_ok, pnode, act, packed, do):
                 child = t.child.at[pnode, act].set(
                     jnp.where(do, idx, pick_at(t.child[pnode], act))
                 )
                 parent = t.parent.at[idx].set(
                     jnp.where(do, pnode, take_small(t.parent, idx))
                 )
-                # Masked-out games park the write in the (unallocated)
-                # next_free slot, which the next real allocation overwrites.
-                states = t.states.at[jnp.where(do, idx, t.next_free)].set(
-                    packed
+                # Masked-out games park the write in the first free slot
+                # (overwritten by the next real allocation); with no free
+                # slot the index is out of bounds and the scatter drops it.
+                park = jnp.where(park_ok, idx, jnp.int32(num_nodes))
+                states = t.states.at[jnp.where(do, idx, park)].set(packed)
+                free = t.free & ~(
+                    (jnp.arange(num_nodes) == idx) & do
                 )
                 return t.replace(
                     child=child,
                     parent=parent,
                     states=states,
-                    next_free=t.next_free + do.astype(jnp.int32),
+                    free=free,
                 )
 
             tree = jax.vmap(write_alloc)(
                 tree,
-                new_idx,
+                jnp.where(any_free, first_free, jnp.int32(num_nodes)),
+                any_free,
                 stop_node,
                 action,
                 jax.vmap(pack)(leaf_state),
@@ -496,20 +566,31 @@ def make_search_fn(
                 tree, path, path_acts, stop_node, action, leaf, value,
                 needs_alloc, active,
             )
-            return tree
+            return tree, capped_count + (capped & active).astype(jnp.int32)
 
-        tree = jax.lax.fori_loop(0, n_iters, sim_body, tree)
+        tree, capped_count = jax.lax.fori_loop(
+            0, n_iters, sim_body, (tree, jnp.zeros((B,), jnp.int32))
+        )
 
         # --- Policy target: normalized root-child visit counts
         # (ref tic_tac_toe.py:177-182 store_search_statistics).  Read from
         # the dense edge stats — zero where no child was materialized.
-        child_visits = tree.child_visit[:, 0, :].astype(jnp.float32)
+        # The root is a per-game slot: one masked pass per [N, A] table,
+        # once per MOVE (not per simulation — negligible).
+        root_row = (
+            jnp.arange(num_nodes)[None, :] == tree.root[:, None]
+        )  # [B, N]
+        child_visits = (
+            jnp.where(root_row[..., None], tree.child_visit, 0)
+            .sum(1)
+            .astype(jnp.float32)
+        )
         visit_sum = child_visits.sum(axis=-1, keepdims=True)
         policy_target = child_visits / jnp.maximum(visit_sum, 1.0)
 
         # --- Action selection (ref Explorer.py:70-97).
         rng, k_soft, k_eps, k_rand, k_pick = jax.random.split(rng, 5)
-        legal_root = tree.legal[:, 0, :]
+        legal_root = jnp.where(root_row[..., None], tree.legal, False).any(1)
         if training:
             soft_logits = jnp.where(legal_root, child_visits, NEG_INF)
             softmax_pick = jax.random.categorical(k_soft, soft_logits, axis=-1)
@@ -539,27 +620,30 @@ def make_search_fn(
             )
         action = action.astype(jnp.int32)
 
-        root_visits = tree.visit[:, 0]
-        root_value = tree.value_sum[:, 0] / jnp.maximum(
-            root_visits.astype(jnp.float32), 1.0
-        )
+        root_visits = jnp.where(root_row, tree.visit, 0).sum(-1)
+        root_value = jnp.where(root_row, tree.value_sum, 0.0).sum(
+            -1
+        ) / jnp.maximum(root_visits.astype(jnp.float32), 1.0)
         # Avg materialized children per allocated node (one [B, N]
         # reduction per MOVE, not per simulation — negligible).
-        alloc = jnp.arange(num_nodes)[None, :] < tree.next_free[:, None]
+        alloc = ~tree.free
+        n_alloc = alloc.sum(-1).astype(jnp.int32)
         n_children = ((tree.child != -1).sum(-1) * alloc).sum(-1)
         children_per_node = n_children / jnp.maximum(
-            tree.next_free.astype(jnp.float32), 1.0
+            n_alloc.astype(jnp.float32), 1.0
         )
         results = SearchResults(
             action=action,
             policy_target=policy_target,
             root_value=root_value,
             root_visits=root_visits,
-            tree_nodes=tree.next_free,
+            tree_nodes=n_alloc,
             exploration_bias=_exploration_bias(
                 root_visits.astype(jnp.float32), params
             ),
             children_per_node=children_per_node,
+            depth_capped=capped_count.astype(jnp.float32)
+            / max(n_iters, 1),
         )
         if with_tree:
             return results, tree

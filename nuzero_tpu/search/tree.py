@@ -58,8 +58,11 @@ class Tree:
     child_vsum: jax.Array  # f32[N, A] value sums of each edge's target
     # Packed env state per node, f32[N, D] (see utils/packing.py).
     states: jax.Array
-    # Scalars.
-    next_free: jax.Array  # i32 next unallocated slot
+    # Scalars / allocator.  The root is an INDEX, not a fixed slot:
+    # subtree reuse re-points it instead of compacting the arrays
+    # (see ``reroot``), so node ids stay stable for the tree's lifetime.
+    root: jax.Array  # i32 current root slot
+    free: jax.Array  # bool[N] — slot unallocated (allocator free list)
 
 
 def init_tree(num_actions: int, num_nodes: int, state_dim: int) -> Tree:
@@ -79,27 +82,15 @@ def init_tree(num_actions: int, num_nodes: int, state_dim: int) -> Tree:
         child_visit=jnp.zeros((num_nodes, A), jnp.int32),
         child_vsum=jnp.zeros((num_nodes, A), jnp.float32),
         states=jnp.zeros((num_nodes, state_dim), jnp.float32),
-        next_free=jnp.int32(1),
+        root=jnp.int32(0),
+        free=jnp.arange(num_nodes) > 0,
     )
 
-def _remap_small(table: jax.Array, values: jax.Array) -> jax.Array:
-    """``table[values]`` for values in ``[0, len(table))`` with a small,
-    static table — as an unrolled select chain instead of a gather.
 
-    TPU lowers per-element gathers over a [N*A]-sized index set to a serial
-    custom call: the ``inv[child]`` remap in ``reroot`` profiled at 87 ms
-    per move at [B=256, N=64, A=525] — 44% of the whole self-play step.
-    N static selects fuse into ONE elementwise pass over ``values``
-    (~1 ms for the same shape): each node id is compared against every slot
-    and picks that slot's remapped id.  O(N) compares per element beats a
-    "O(1)" gather by ~87x because the compares are lane-parallel VPU work
-    while gather addressing is serial.
-    """
-    out = jnp.zeros(values.shape, table.dtype)
-    for k in range(table.shape[0]):
-        out = jnp.where(values == k, table[k], out)
-    return out
-
+def num_allocated(tree: Tree) -> jax.Array:
+    """i32 allocated-node count (the reference's per-game tree-size stat,
+    ref ``Training/Gamer.py:42-92``)."""
+    return (~tree.free).sum(-1).astype(jnp.int32)
 
 def reroot(tree: Tree, action: jax.Array) -> tuple[Tree, jax.Array]:
     """Re-root a single-game tree at the child reached by ``action``.
@@ -110,121 +101,86 @@ def reroot(tree: Tree, action: jax.Array) -> tuple[Tree, jax.Array]:
     ``Search/Explorer.py`` subtree reuse;
     ``Configs/Search/Examples/documentation_search_config.yaml``).
 
-    The reference swaps a Python pointer.  Here the subtree must be
-    *compacted* back into the fixed-budget array tree:
+    The reference swaps a Python pointer; this does the array equivalent —
+    NO compaction, no index remapping:
 
-    1. mark every node whose ancestor chain contains the new root — by
-       pointer-doubling over parent links (O(log N) gather rounds, no
-       sequential walk),
-    2. compute a permutation placing the new root at slot 0 and the other
-       marked nodes after it (one argsort),
-    3. gather every per-node/per-edge array through the permutation,
-       remapping ``parent``/``child`` indices and zeroing dead slots so
-       later allocations start from a clean node.
+    1. mark the retained subtree (every node whose ancestor chain contains
+       the new root) by pointer-doubling over parent links,
+    2. point ``tree.root`` at the chosen child,
+    3. return every non-subtree slot to the allocator's free list and zero
+       its stats/edges so reuse starts from a clean node.
+
+    Earlier revisions compacted the subtree down to slot 0, which forced a
+    full permutation of every table (vmapped gathers → batch-minor layout
+    churn on the [N, A] edge stats inside the search loop) plus an O(N)
+    select chain PER ELEMENT to remap child ids — quadratic in tree
+    capacity and the dominant reroot cost at the reference's 300-800
+    simulation budgets.  Keeping ids stable costs one masked pass over
+    each table and nothing else, at every capacity.
 
     Returns ``(new_tree, ok)``; ``ok`` is False when the chosen action has
     no materialized child (possible under epsilon-random/softmax action
     selection), in which case the caller should start the next search from
     a fresh tree.
     """
+    from nuzero_tpu.ops.gather import CHAIN_LIMIT, pick_at, take_small
+
     N = tree.visit.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
-    c = tree.child[0, action]
+    c = pick_at(take_small(tree.child, tree.root), action)
     ok = c != UNVISITED
     c_safe = jnp.where(ok, c, 0)
 
-    # All node-indexed reads below go through ONE-HOT MATMULS, not gathers.
-    # A vmapped per-game gather makes XLA (a) serialize the read and (b)
-    # prefer batch-minor layouts for the gathered table — which then forces
-    # a full-table layout copy of the [N, A] edge stats on EVERY simulation
-    # at the search loop boundary (profiled: 10.7 ms/move at
-    # [512, 64, 525] on the 256f leg).  One-hot f32 matmuls at HIGHEST
-    # precision are exact (each output sums exactly one 1.0*x product; the
-    # bf16x3 f32 decomposition reconstructs x bit-exactly), run on the MXU,
-    # and keep every table in its natural row-major layout.
-    f32 = jnp.float32
-    highest = jax.lax.Precision.HIGHEST
-
-    def oh(indices):  # [M] -> f32[M, N] one-hot rows
-        return (indices[:, None] == idx[None, :]).astype(f32)
-
-    # --- 1. subtree membership by pointer doubling.
+    # --- 1. subtree membership by pointer doubling.  Small trees chase
+    # parent pointers through exact one-hot f32 matmuls (a vmapped gather
+    # would serialize and push batch-minor layouts into the tables —
+    # profiled at 3.5 ms/move at [512, 64]); above the chain limit the
+    # [N, N] one-hots outgrow the gather cost and plain gathers win.
     mark = idx == c_safe
     ptr = jnp.where(tree.parent >= 0, tree.parent, idx)
+    use_matmul = N <= CHAIN_LIMIT
     for _ in range(max(1, math.ceil(math.log2(max(N, 2))))):
-        ptr_oh = oh(ptr)
-        mark = mark | (ptr_oh @ mark.astype(f32) > 0.5)
-        ptr = jnp.round(ptr_oh @ ptr.astype(f32)).astype(jnp.int32)
+        if use_matmul:
+            ptr_oh = (ptr[:, None] == idx[None, :]).astype(jnp.float32)
+            mark = mark | (
+                jnp.matmul(
+                    ptr_oh,
+                    mark.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                > 0.5
+            )
+            ptr = jnp.round(
+                jnp.matmul(
+                    ptr_oh,
+                    ptr.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            ).astype(jnp.int32)
+        else:
+            mark = mark | mark[ptr]
+            ptr = ptr[ptr]
 
-    # --- 2. compaction permutation: new root first, marked nodes next
-    # (stable in old-index order), dead nodes last.
-    n_live = mark.sum().astype(jnp.int32)
-    key = jnp.where(mark, idx, N + idx)
-    key = jnp.where(idx == c_safe, -1, key)
-    dest = jnp.argsort(key).astype(jnp.int32)  # old index at each new slot
-    inv = jnp.zeros(N, jnp.int32).at[dest].set(idx)  # old -> new
-    live = idx < n_live
-    perm = oh(dest)  # f32[N, N]: out[m] = in[dest[m]]
-
-    def permute(table, out_dtype=None):
-        """table[dest] as an MXU matmul (exact — see note above)."""
-        flat = table.reshape(N, -1).astype(f32)
-        out = jnp.matmul(perm, flat, precision=highest)
-        out = out.reshape((N,) + table.shape[1:])
-        dt = out_dtype or table.dtype
-        if dt == jnp.float32:
-            return out
-        if dt == jnp.bool_:
-            return out > 0.5
-        return jnp.round(out).astype(dt)
-
-    # Per-node scalars ride one stacked matmul.
-    node_cols = jnp.stack(
-        [
-            tree.visit.astype(f32),
-            tree.value_sum,
-            tree.parent.astype(f32),
-            tree.to_play.astype(f32),
-            tree.is_terminal.astype(f32),
-            tree.terminal_value,
-            tree.expanded.astype(f32),
-        ],
-        axis=1,
-    )
-    node_perm = jnp.matmul(perm, node_cols, precision=highest)
-
-    # --- 3. permute + remap indices + clear dead slots.
-    parent_old = jnp.round(node_perm[:, 2]).astype(jnp.int32)
-    parent = jnp.where(
-        live & (idx != 0),
-        _remap_small(inv, jnp.maximum(parent_old, 0)),
-        UNVISITED,
-    )
-    child_old = permute(tree.child)
-    child = jnp.where(
-        live[:, None] & (child_old >= 0),
-        _remap_small(inv, jnp.maximum(child_old, 0)),
-        UNVISITED,
-    )
-    new_tree = Tree(
-        visit=jnp.where(
-            live, jnp.round(node_perm[:, 0]).astype(jnp.int32), 0
-        ),
-        value_sum=jnp.where(live, node_perm[:, 1], 0.0),
+    # --- 2/3. free + clear everything outside the subtree (stale parent
+    # chains in freed slots may spuriously mark, so the free list is a
+    # UNION with the previous one — a freed slot can never come back
+    # except through the allocator).
+    free = tree.free | ~mark
+    dead_row = free[:, None]
+    # Sever the new root's parent link: its old ancestors are freed, and a
+    # stale upward pointer into a later-reallocated slot would spuriously
+    # re-mark them on a future reroot (slot leak).
+    parent = jnp.where(free | (idx == c_safe), UNVISITED, tree.parent)
+    new_tree = tree.replace(
+        visit=jnp.where(free, 0, tree.visit),
+        value_sum=jnp.where(free, 0.0, tree.value_sum),
         parent=parent,
-        to_play=jnp.where(
-            live, jnp.round(node_perm[:, 3]).astype(jnp.int32), 0
-        ),
-        is_terminal=jnp.where(live, node_perm[:, 4] > 0.5, False),
-        terminal_value=jnp.where(live, node_perm[:, 5], 0.0),
-        expanded=jnp.where(live, node_perm[:, 6] > 0.5, False),
-        prior=jnp.where(live[:, None], permute(tree.prior), 0.0),
-        legal=jnp.where(live[:, None], permute(tree.legal), False),
-        child=child,
-        child_visit=jnp.where(live[:, None], permute(tree.child_visit), 0),
-        child_vsum=jnp.where(live[:, None], permute(tree.child_vsum), 0.0),
-        states=jnp.where(live[:, None], permute(tree.states), 0.0),
-        next_free=jnp.where(ok, n_live, jnp.int32(1)),
+        expanded=jnp.where(free, False, tree.expanded),
+        child=jnp.where(dead_row, UNVISITED, tree.child),
+        child_visit=jnp.where(dead_row, 0, tree.child_visit),
+        child_vsum=jnp.where(dead_row, 0.0, tree.child_vsum),
+        root=c_safe,
+        free=free,
     )
     return new_tree, ok
 
@@ -248,7 +204,7 @@ def print_tree(tree: Tree, game_idx=None, max_children: int = 8,
     prior = np.asarray(tree.prior)
     to_play = np.asarray(tree.to_play)
     term = np.asarray(tree.is_terminal)
-    n_alloc = int(tree.next_free)
+    n_alloc = int((~np.asarray(tree.free)).sum())
 
     lines = [f"tree: {n_alloc} allocated nodes / {visit.shape[0]} capacity"]
 
@@ -274,7 +230,7 @@ def print_tree(tree: Tree, game_idx=None, max_children: int = 8,
             )
 
     if n_alloc > 0:
-        rec(0, 0, None, None)
+        rec(int(tree.root), 0, None, None)
     out = "\n".join(lines)
     print(out, file=file)
     return out

@@ -205,6 +205,10 @@ def make_selfplay_step(
             "tree_full_frac": (res.tree_nodes >= tree_cap).mean(),
             "exploration_bias_mean": res.exploration_bias.mean(),
             "children_per_node_mean": res.children_per_node.mean(),
+            # Fraction of descents stopped by MAX_PATH_DEPTH — 0 on every
+            # profiled workload; nonzero means deep lines are losing
+            # exploration and the cap should be raised.
+            "depth_capped_frac": res.depth_capped.mean(),
         }
         new_sp = SelfplayState(
             games=games,

@@ -1,8 +1,9 @@
 """Subtree reuse (keep_subtree): re-rooting invariants + selfplay carry.
 
 Ref behavior: ``Training/Gamer.py:78-79`` root swap after each move,
-search-config ``keep_subtree`` flag.  Here the reuse is an array-tree
-compaction (``nuzero_tpu/search/tree.py::reroot``).
+search-config ``keep_subtree`` flag.  Here the reuse re-points the array
+tree's root and frees the dead slots in place — node ids are stable
+(``nuzero_tpu/search/tree.py::reroot``).
 """
 
 import jax
@@ -45,43 +46,45 @@ def test_reroot_preserves_subtree_stats():
     for b in range(4):
         t = jax.tree.map(lambda x: np.asarray(x[b]), tree)
         nt = jax.tree.map(lambda x: np.asarray(x[b]), new_tree)
-        c = t.child[0, int(res.action[b])]
-        # Root carries the old child's statistics.
-        assert nt.visit[0] == t.visit[c]
-        assert np.isclose(nt.value_sum[0], t.value_sum[c])
-        assert nt.parent[0] == -1
-        assert np.array_equal(nt.legal[0], t.legal[c])
-        # Grandchildren stats survive under the remap.
+        N = t.visit.shape[0]
+        old_root = int(t.root)
+        c = t.child[old_root, int(res.action[b])]
+        # The root is re-POINTED (node ids are stable, no compaction).
+        assert int(nt.root) == c
+        assert nt.visit[c] == t.visit[c]
+        assert np.isclose(nt.value_sum[c], t.value_sum[c])
+        assert nt.parent[c] == -1  # severed from the freed old root
+        assert np.array_equal(nt.legal[c], t.legal[c])
+        # Grandchildren survive untouched at their old slots.
         for a in range(9):
+            assert nt.child[c, a] == t.child[c, a]
             gc = t.child[c, a]
-            ngc = nt.child[0, a]
-            if gc == -1:
-                assert ngc == -1
-            else:
-                assert ngc != -1
-                assert nt.visit[ngc] == t.visit[gc]
-                assert np.isclose(nt.value_sum[ngc], t.value_sum[gc])
-        # Compaction: retained nodes are exactly the subtree.
-        n_live = int(nt.next_free)
-        assert 1 <= n_live <= int(t.next_free)
-        assert n_live == int(t.visit[c] >= 1) + sum(
-            1 for i in range(t.visit.shape[0]) if _has_ancestor(t.parent, i, c)
-        )
-        # Pointer consistency on the live range.
-        for i in range(1, n_live):
+            if gc != -1:
+                assert nt.visit[gc] == t.visit[gc]
+                assert np.isclose(nt.value_sum[gc], t.value_sum[gc])
+        # The free list is exactly the complement of c's subtree.
+        live = ~nt.free
+        expect_live = {c} | {
+            i for i in range(N) if _has_ancestor(t.parent, i, c)
+        }
+        assert set(np.flatnonzero(live).tolist()) == expect_live
+        assert 1 <= live.sum() <= int((~t.free).sum())
+        # Pointer consistency over live slots.
+        for i in np.flatnonzero(live):
             p = nt.parent[i]
-            assert 0 <= p < n_live
-            assert (nt.child[p] == i).sum() == 1
-        for i in range(n_live):
+            if i != c:
+                assert live[p]
+                assert (nt.child[p] == i).sum() == 1
             for a in range(9):
                 ch = nt.child[i, a]
                 if ch != -1:
-                    assert 0 <= ch < n_live
+                    assert live[ch]
                     assert nt.parent[ch] == i
-        # Dead slots are cleanly reset for future allocation.
-        assert (nt.child[n_live:] == -1).all()
-        assert (nt.visit[n_live:] == 0).all()
-        assert not nt.expanded[n_live:].any()
+        # Freed slots are cleanly reset for future allocation.
+        dead = np.flatnonzero(nt.free)
+        assert (nt.child[dead] == -1).all()
+        assert (nt.visit[dead] == 0).all()
+        assert not nt.expanded[dead].any()
 
 
 def _has_ancestor(parent, i, c):
@@ -105,9 +108,13 @@ def test_reroot_missing_child_flags_invalid():
     )
     # Force an action that a 4-sim search did not materialize: the least
     # visited one.  With 4 sims over 9 legal root actions some child is -1.
-    child = np.asarray(tree.child[:, 0, :])
+    child = np.asarray(
+        tree.child[jnp.arange(2), tree.root, :]
+    )
     missing = jnp.int32([int(np.argmin(child[b] >= 0)) for b in range(2)])
-    assert (np.asarray(tree.child[jnp.arange(2), 0, missing]) == -1).any()
+    assert (
+        np.asarray(tree.child[jnp.arange(2), tree.root, missing]) == -1
+    ).any()
     _, ok = jax.vmap(reroot)(tree, missing)
     assert not bool(ok.all())
 
@@ -125,7 +132,7 @@ def test_carried_search_accumulates_visits():
     res2, _ = fn(
         None, stepped, zeros + 1, jax.random.key(1), tree2, ok
     )
-    carried_visits = tree2.visit[:, 0]
+    carried_visits = tree2.visit[jnp.arange(3), tree2.root]
     # Carried roots run all num_simulations descents, like the reference's
     # run_mcts on an already-expanded root (Explorer.py:49-58) — fresh
     # roots spend their first simulation on the root evaluation instead.
@@ -145,7 +152,7 @@ def test_selfplay_with_reuse_runs_and_stays_bounded():
     for _ in range(25):
         sp, finished, stats = step(None, sp)
         finished_total += int(stats["finished"])
-        assert int(sp.tree.next_free.max()) <= cap
+        assert int((~sp.tree.free).sum(-1).max()) <= cap
         # Valid carried roots must match the game's current position count.
         pt = np.asarray(finished.policy)
         assert np.isfinite(pt).all()
