@@ -37,12 +37,13 @@ Methodology (hardened after BENCH_r02's 1500x secondary-leg flake):
 Legs: PRIMARY scs (64f f32), secondary ttt4096 (BASELINE config 2's 4096
 parallel games — the stable TTT number), ttt1024 (auxiliary; B=1024 TTT,
 noisy on the shared tunnel), scs256 (the reference's flagship 256-filter
-trunk, ref Run.py:148, in bf16 compute).
+trunk, ref Run.py:148, in bf16 compute), scs256_b1024 (flagship batch-
+scaling check: B=1024 must hold >= B=512).
 
 Env knobs: BENCH_BATCH/BENCH_SIMS (TTT), BENCH_BATCH4096,
 BENCH_SCS_BATCH/BENCH_SCS_SIMS/BENCH_SCS_FILTERS/BENCH_SCS_DTYPE,
 BENCH_REPS/BENCH_TRIALS, BENCH_TRACE_DIR (jax.profiler trace),
-BENCH_SKIP_{TTT,TTT4096,SCS,SCS256}=1 to skip a leg.
+BENCH_SKIP_{TTT,TTT4096,SCS,SCS256,SCS256B1024}=1 to skip a leg.
 """
 
 import contextlib
@@ -332,6 +333,19 @@ def main():
                 "scs256_mcts_env_steps_per_s_per_chip", s256_res, s256_b,
                 s256_s, "SCS 5x5 hex-RecurrentNet 256f bf16",
             )
+        if os.environ.get("BENCH_SKIP_SCS256B1024"):
+            scs256b1024 = None
+        else:
+            # Batch-scaling check on the flagship leg: B=1024 must not
+            # regress below B=512 (the round-4 edge-table superlinearity
+            # dropped it to 0.65x; r4 verdict #1).
+            sb_res, sb_b, sb_s = bench_scs(
+                filters=256, dtype="bfloat16", batch=1024
+            )
+            scs256b1024 = _leg_json(
+                "scs256_b1024_mcts_env_steps_per_s_per_chip", sb_res, sb_b,
+                sb_s, "SCS 5x5 hex-RecurrentNet 256f bf16",
+            )
 
     # Primary = the SCS leg (BASELINE's named workload); if skipped, the
     # first available leg is promoted so a filtered run still prints its
@@ -342,7 +356,7 @@ def main():
     # gets (PERF_NOTES r4) — stays as the auxiliary `ttt1024` key for
     # round-over-round continuity.
     legs = [("scs", scs), ("secondary", ttt4096), ("ttt1024", ttt),
-            ("scs256", scs256)]
+            ("scs256", scs256), ("scs256_b1024", scs256b1024)]
     primary = next((leg for _, leg in legs if leg is not None), None)
     if primary is not None:
         for key, leg in legs:

@@ -2,14 +2,16 @@
 
 The reference ships trained two-sided SCS models (``Games/SCS/models/``,
 mirrored/randomized presets ``Run.py:137-156``) but no learning curves;
-``runs/scs_contested_r4`` commits the journal of a contested open_field_5
-run (training preset 2 + configs/training/scs_contested.yaml) whose
-in-loop eval tracks strength vs random AND vs the scripted GoalRush
-baseline on both seats (Testing.goal_rush_opponent).
+``runs/scs_contested256_r5`` commits the journal of a contested
+open_field_5 run at the reference's FLAGSHIP model scale (256-filter hex
+trunk, ref Run.py:148, bf16 compute) — training preset 2 +
+configs/training/scs_contested.yaml — whose in-loop eval tracks strength
+vs random AND vs the scripted GoalRush baseline on both seats
+(Testing.goal_rush_opponent).
 
 Reproduce:
     python run.py --training-preset 2 --train-config scs_contested.yaml \
-        --name scs_contested_r4
+        --filters 256 --net-dtype bfloat16 --name scs_contested256_r5
 """
 
 import json
@@ -18,7 +20,15 @@ import os
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-RUN = os.path.join(REPO, "runs", "scs_contested_r4")
+_CANDIDATES = ("scs_contested256_r5", "scs_contested_r4")
+RUN = next(
+    (
+        os.path.join(REPO, "runs", n)
+        for n in _CANDIDATES
+        if os.path.exists(os.path.join(REPO, "runs", n, "journal.jsonl"))
+    ),
+    os.path.join(REPO, "runs", _CANDIDATES[0]),
+)
 
 
 def _records():

@@ -11,8 +11,8 @@ test-time recurrent-iteration counts.
 
 Reproduce:
     python run.py --training-preset 3 --train-config scs_small_prog.yaml \
-        --name scs_solo_rvp_r4
-    python run.py --testing-preset 3 --name scs_solo_rvp_r4
+        --name scs_solo_rvp_r5
+    python run.py --testing-preset 3 --name scs_solo_rvp_r5
 """
 
 import json
@@ -23,7 +23,21 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _curves(run="scs_solo_rvp_r4"):
+_CANDIDATES = ("scs_solo_rvp_r5", "scs_solo_rvp_r4")
+
+
+def _curves(run=None):
+    if run is None:
+        run = next(
+            (
+                n
+                for n in _CANDIDATES
+                if os.path.exists(
+                    os.path.join(REPO, "runs", n, "plots", "size_sweep.json")
+                )
+            ),
+            _CANDIDATES[0],
+        )
     path = os.path.join(REPO, "runs", run, "plots", "size_sweep.json")
     if not os.path.exists(path):
         pytest.skip(f"no committed size-sweep data for {run}")
