@@ -219,10 +219,15 @@ def _descend(tree: Tree, params: SearchParams, depth_cap: int):
 #: over the recorded path instead of the dense one-hot einsum.  The einsum
 #: streams the full [N, A] tables every simulation (O(N*A) HBM traffic/sim
 #: -> quadratic total cost in the simulation budget); the scatter touches
-#: only B*(path) elements — constant per simulation — at a higher fixed
-#: cost, so the dense form stays faster for the small trees the standing
-#: bench legs use (measured crossover, benchmarks/sims_scaling_bench.py).
-SCATTER_CREDIT_MIN_NODES = 160
+#: only B*(path) elements — constant per simulation — but TPU scatters
+#: serialize per index, and MEASURED on v5e (SCS 5x5 open-field, B=512,
+#: 300 sims, N=604) the einsum still wins there: 27.7k vs 19.4k
+#: env-steps/s.  The measured per-simulation cost slope is ~26 us per
+#: node of capacity (the dense [N, A] update path), which puts the
+#: einsum/scatter crossover near N~1k — hence this threshold.  See
+#: benchmarks/sims_scaling_bench.py + PERF_NOTES "search at reference
+#: budgets".
+SCATTER_CREDIT_MIN_NODES = 1024
 
 #: Descent/credit path cap: descents stop and re-contribute the frontier
 #: node's evaluation past this depth, bounding the recorded-path buffers
