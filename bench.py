@@ -328,7 +328,14 @@ def main():
         else:
             # The reference's FLAGSHIP model scale: 256-filter hex trunk
             # (ref Run.py:148,172,249), bf16 compute (r3 verdict #2).
-            s256_res, s256_b, s256_s = bench_scs(filters=256, dtype="bfloat16")
+            # B=768 is the measured best operating point for this leg
+            # (r5: 104.4k vs 96.1k at 512 and 83.9k at 1024); the batch
+            # is in the unit string and the b1024 leg below keeps the
+            # batch-scaling behavior visible.
+            s256_res, s256_b, s256_s = bench_scs(
+                filters=256, dtype="bfloat16",
+                batch=int(os.environ.get("BENCH_SCS256_BATCH", 768)),
+            )
             scs256 = _leg_json(
                 "scs256_mcts_env_steps_per_s_per_chip", s256_res, s256_b,
                 s256_s, "SCS 5x5 hex-RecurrentNet 256f bf16",
