@@ -18,6 +18,9 @@ Usage:
     SIMS_FILTERS=256 SIMS_DTYPE=bfloat16 python benchmarks/sims_scaling_bench.py
     SIMS_LIST=30,300 SIMS_BATCH=256 ...                # subset / smaller B
 
+HBM note: at 800 sims the carried trees are [B, 1604, A]-shaped; B=512
+exceeds one v5e's 16 GB (measured 20.9 GB) — use SIMS_BATCH=256 there.
+
 Prints one JSON line per budget: rate, per-sim ms, tree capacity.
 """
 
